@@ -1,0 +1,35 @@
+"""Core tensor ops (pure jnp + Pallas): the foundation layer of the framework.
+
+Reference parity map (file:line cites are into /root/reference):
+- warp.backward_warp      ⇔ Flow-2D/model/warplayer.py:7 (bilinear, border, align_corners=True)
+                            and Flow-3D/model/warplayer.py (trilinear);
+                            UPFlow/model/pwc_modules.py:179 (zeros + validity mask).
+- resize.resize / resize_flow ⇔ F.interpolate(..., align_corners=False) uses in
+                            Flow-2D/model/IFNet.py:89-116; flow-magnitude rescale as in
+                            UPFlow/model/pwc_modules.py:77-90.
+- pyramid.laplacian_pyramid / lap_loss ⇔ Flow-2D/model/laplacian.py (5-tap binomial).
+- correlation.cost_volume ⇔ UPFlow/model/correlation_package (CUDA ext) and
+                            UPFlow/utils/pytorch_correlation.py (unfold fallback).
+- census.census_transform / census_loss ⇔ Flow-2D/model/loss.py:20-55 (Ternary),
+                            UPFlow/utils/loss.py:51-91.
+- occlusion.occ_check     ⇔ UPFlow/utils/tools.py:543-719 (occ_check_model).
+- ssim.ssim               ⇔ Flow-2D/model/pytorch_msssim/__init__.py, error.py:36-76.
+"""
+
+from opticalflowscivis_tpu.ops.warp import backward_warp
+from opticalflowscivis_tpu.ops.resize import resize_like, resize_spatial, resize_flow, upsample_flow_as
+from opticalflowscivis_tpu.ops.pyramid import gaussian_blur, laplacian_pyramid, lap_loss
+from opticalflowscivis_tpu.ops.correlation import cost_volume
+from opticalflowscivis_tpu.ops.census import census_transform, census_loss
+from opticalflowscivis_tpu.ops.occlusion import occ_check
+from opticalflowscivis_tpu.ops.ssim import ssim, ssim_matlab
+
+__all__ = [
+    "backward_warp",
+    "resize_like", "resize_spatial", "resize_flow", "upsample_flow_as",
+    "gaussian_blur", "laplacian_pyramid", "lap_loss",
+    "cost_volume",
+    "census_transform", "census_loss",
+    "occ_check",
+    "ssim", "ssim_matlab",
+]

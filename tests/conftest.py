@@ -1,0 +1,18 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+This is the reference's "test multi-node without a cluster" answer (SURVEY.md §4):
+XLA_FLAGS host-platform device count must be set before jax initializes.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
