@@ -1,0 +1,121 @@
+"""Host-side data pipeline: normalization, resampling, augmentation, grouping.
+
+Re-implements the in-process preparation of ``Flow-2D/load_datasets.py`` /
+``Flow-3D/load_datasets.py`` on channels-last numpy arrays ``[T, *S, C]`` where
+channel 0 is the scalar field and channels 1..ndim are optional GT flow.
+
+Parity map:
+- ``minmax_normalize``       ⇔ load_datasets.py:82-141 (per-dataset min-max).
+- ``temporal_resample``      ⇔ load_datasets.py:227-240 — every 3rd frame, three
+  phase shifts concatenated (applies to all datasets: the reference's guard
+  ``dataset != "rectangle2d" or dataset != "lbs2d"`` is a tautology).
+- ``flip_augment``           ⇔ load_datasets.py:246-252 — append copies flipped
+  along each spatial axis.  Deviation: we negate the flow channel of the flipped
+  axis so GT flow stays correct on the mirrored copies (the reference flips the
+  stacked channels verbatim, corrupting GT flow signs for its supervised runs).
+- ``group_tuples``           ⇔ load_datasets.py:266-364 — exp=1 consecutive
+  (img0, img1, gt)=(t, t+2, t+1); exp=2 5-tuples (t, t+4, t+1..t+3); exp=3
+  9-tuples (t, t+8, t+1..t+7).  Output ``[N, slots, *S, C]`` with slot order
+  (img0, img1, gts...) exactly as the reference concatenates them.
+- ``pad_to_multiple``        — replaces the reference's per-step "correct
+  shapes" cropping (IFNet.py:162-188) with one static edge-pad to /32.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def minmax_normalize(data: np.ndarray) -> np.ndarray:
+    """Min-max normalize the scalar channel to [0, 1]; flow channels untouched."""
+    data = np.nan_to_num(np.float32(data))  # Flow-3D/load_datasets.py:85-89
+    field = data[..., :1]
+    lo, hi = field.min(), field.max()
+    if hi > lo:
+        field = (field - lo) / (hi - lo)
+    return np.concatenate([field, data[..., 1:]], axis=-1) if data.shape[-1] > 1 else field
+
+
+def temporal_resample(data: np.ndarray, stride: int = 3) -> np.ndarray:
+    """Concatenate the ``stride`` phase-shifted every-N subsequences."""
+    return np.concatenate([data[s::stride] for s in range(stride)], axis=0)
+
+
+def flip_augment(data: np.ndarray, flow_channels: bool = True) -> np.ndarray:
+    """Append copies mirrored along each spatial axis (axes 1..ndim of [T,*S,C]).
+
+    With ``flow_channels`` the flow component along the flipped axis is negated
+    (flow channel i corresponds to spatial axis i, row-major).
+    """
+    ndim = data.ndim - 2
+    has_flow = flow_channels and data.shape[-1] == 1 + ndim
+    out = data
+    for axis in range(ndim):
+        flipped = np.flip(out, axis=1 + axis).copy()
+        if has_flow:
+            flipped[..., 1 + axis] *= -1.0
+        out = np.concatenate([out, flipped], axis=0)
+    return out
+
+
+def group_tuples(data: np.ndarray, exp: int = 1) -> np.ndarray:
+    """Group frames into training tuples ``[N, slots, *S, C]``.
+
+    exp=1 → slots (img0, img1, gt) from frame triples (t, t+2, t+1);
+    exp=2 → (img0, img1, gt1, gt2, gt3) from 5-frame runs;
+    exp=3 → (img0, img1, gt1..gt7) from 9-frame runs.
+    """
+    run = 2**exp + 1
+    n = (data.shape[0] // run) * run
+    if n == 0:
+        raise ValueError(f"need at least {run} frames, got {data.shape[0]}")
+    blocks = data[:n].reshape(data.shape[0] // run, run, *data.shape[1:])
+    order = [0, run - 1] + list(range(1, run - 1))
+    return blocks[:, order]
+
+
+def pad_to_multiple(
+    data: np.ndarray, multiple: int = 32, leading_axes: int = 1
+) -> tuple[np.ndarray, tuple[tuple[int, int], ...]]:
+    """Edge-pad the spatial axes up to a multiple; returns (padded, pads).
+
+    ``leading_axes`` counts non-spatial leading axes (1 for ``[T, *S, C]``,
+    2 for grouped tuples ``[N, slots, *S, C]``); the last axis is channels.
+    """
+    nd = data.ndim
+    pads = [(0, 0)] * nd
+    for axis in range(leading_axes, nd - 1):
+        s = data.shape[axis]
+        target = ((s + multiple - 1) // multiple) * multiple
+        pads[axis] = (0, target - s)
+    padded = np.pad(data, pads, mode="edge")
+    return padded, tuple(pads)
+
+
+class TupleDataset:
+    """Shuffled minibatch iterator over grouped tuples (host numpy → device).
+
+    The reference relies on torch DataLoader with pinned memory and 8 workers
+    (Flow-2D/train.py:90); here batches are sliced from one contiguous array —
+    the whole dataset lives in RAM exactly as in the reference
+    (load_datasets.py:203-205) — and handed to jax for the H2D copy.
+    """
+
+    def __init__(self, tuples: np.ndarray, batch_size: int, seed: int = 0,
+                 drop_last: bool = True):
+        self.tuples = tuples
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        n = self.tuples.shape[0]
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, shuffle: bool = True):
+        idx = np.arange(self.tuples.shape[0])
+        if shuffle:
+            self.rng.shuffle(idx)
+        for i in range(len(self)):
+            sel = idx[i * self.batch_size : (i + 1) * self.batch_size]
+            yield self.tuples[sel]

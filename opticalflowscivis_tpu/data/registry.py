@@ -1,0 +1,198 @@
+"""Dataset registry — replaces the reference's filename-string dispatch.
+
+One ``DatasetSpec`` per dataset, capturing everything ``Flow-2D/load_datasets.py``
+and ``Flow-3D/load_datasets.py`` encode as if/elif chains: source, spatial rank,
+GT-flow availability, fixed index splits (load_datasets.py:193-224,379-397;
+Flow-3D/load_datasets.py:147-196), temporal resampling, flip augmentation and the
+per-dataset default batch size (Flow-2D/train.py:576-587, Flow-3D/train.py:499-504).
+
+``load_data(dataset, exp, mode)`` mirrors the reference API
+(load_datasets.py:33): returns grouped tuple arrays ``[N, slots, *S, C]`` —
+(train, val) for mode='train', test for mode='test'.
+
+Synthetic datasets are generated on first use and cached as ``.pkl`` in
+``data_dir`` (the reference ships them as pre-generated pkls); external SciVis
+pkls (droplet2d, cylinder ensembles, tangaroa, ...) are read from ``data_dir``
+with automatic channels-first → channels-last conversion.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from typing import Callable, Sequence
+
+import numpy as np
+
+from opticalflowscivis_tpu.data import synthetic
+from opticalflowscivis_tpu.data.pipeline import (
+    flip_augment,
+    group_tuples,
+    minmax_normalize,
+    temporal_resample,
+)
+
+Slices = Sequence[tuple[int | None, int | None]]
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetSpec:
+    name: str
+    ndim: int
+    has_flow: bool
+    train: Slices
+    val: Slices
+    test: Slices
+    batch_size: int
+    generator: Callable[..., np.ndarray] | None = None  # synthetic source
+    pkl_file: str | None = None  # external source (relative to data_dir)
+    resample_stride: int = 3  # every-3rd w/ phase shifts; 0 = off (3-D path)
+    flip_aug: bool = True
+    val_pkl_file: str | None = None  # droplet3d ships pre-split train/val pkls
+
+
+def _spec(**kw) -> DatasetSpec:
+    return DatasetSpec(**kw)
+
+
+REGISTRY: dict[str, DatasetSpec] = {
+    # ---- 2-D (Flow-2D/load_datasets.py) ----
+    "rectangle2d": _spec(
+        name="rectangle2d", ndim=2, has_flow=True,
+        train=[(0, 2205)], val=[(2370, 2685)], test=[(2685, 3000)],
+        batch_size=180, generator=synthetic.rectangle_2d,
+    ),
+    "rectangles2d": _spec(  # multi-box variant (create_rectangles_2d.py)
+        name="rectangles2d", ndim=2, has_flow=True,
+        train=[(0, 2205)], val=[(2370, 2685)], test=[(2685, 3000)],
+        batch_size=180, generator=synthetic.rectangles_2d,
+    ),
+    "lbs2d": _spec(
+        name="lbs2d", ndim=2, has_flow=True,
+        train=[(0, 2205)], val=[(2370, 2685)], test=[(2685, 3000)],
+        batch_size=100, generator=None, pkl_file="lbs2d_skip_.pkl",
+    ),
+    "droplet2d": _spec(
+        name="droplet2d", ndim=2, has_flow=False,
+        train=[(0, 51300)], val=[(51300, 54000)], test=[(0, 2700)],
+        batch_size=128, pkl_file="droplet2d.pkl",
+    ),
+    "pipedcylinder2d": _spec(
+        name="pipedcylinder2d", ndim=2, has_flow=True,
+        train=[(0, 540), (-540, None)], val=[(540, 810)], test=[(810, 1080)],
+        batch_size=64, pkl_file="pipedcylinder2d.pkl",
+    ),
+    "cylinder2d": _spec(
+        name="cylinder2d", ndim=2, has_flow=True,
+        train=[(0, 540), (-540, None)], val=[(540, 810)], test=[(810, 1080)],
+        batch_size=64, pkl_file="cylinder2d.pkl",
+    ),
+    "FluidSimML2d": _spec(
+        name="FluidSimML2d", ndim=2, has_flow=True,
+        train=[(100, 820)], val=[(820, 964)], test=[(820, 964)],
+        batch_size=64, pkl_file="FluidSimML2d.pkl",
+    ),
+    # ---- 3-D (Flow-3D/load_datasets.py; no temporal resample, L1-style path) ----
+    "rectangle3d": _spec(
+        name="rectangle3d", ndim=3, has_flow=True,
+        train=[(0, 750)], val=[(750, 900)], test=[(900, 999)],
+        batch_size=30, generator=synthetic.rectangle_3d,
+        resample_stride=0,
+    ),
+    "droplet3d": _spec(
+        name="droplet3d", ndim=3, has_flow=False,
+        train=[(None, None)], val=[(None, None)], test=[(None, None)],
+        batch_size=20, pkl_file="droplet3d_64_train.pkl",
+        val_pkl_file="droplet3d_64_val.pkl", resample_stride=0,
+    ),
+    "tangaroa3d": _spec(
+        name="tangaroa3d", ndim=3, has_flow=False,
+        train=[(0, 150)], val=[(150, 201)], test=[(150, 201)],
+        batch_size=15, pkl_file="tangaroa3d_downs.pkl",
+        resample_stride=0, flip_aug=False,
+    ),
+    "tornado3d": _spec(
+        name="tornado3d", ndim=3, has_flow=False,
+        train=[(None, None)], val=[(None, None)], test=[(None, None)],
+        batch_size=15, pkl_file="tornado3d.pkl",
+        resample_stride=0, flip_aug=False,
+    ),
+}
+
+
+def get_spec(dataset: str) -> DatasetSpec:
+    if dataset not in REGISTRY:
+        raise KeyError(f"unknown dataset {dataset!r}; known: {sorted(REGISTRY)}")
+    return REGISTRY[dataset]
+
+
+def _to_channels_last(data: np.ndarray, ndim: int) -> np.ndarray:
+    """Accept reference layouts [T,*S], [T,C,*S] or ours [T,*S,C] → [T,*S,C]."""
+    if data.ndim == 1 + ndim:  # [T, *S]
+        return data[..., None]
+    if data.ndim == 2 + ndim:
+        # channels-first if axis 1 is small and last axis is big
+        if data.shape[1] <= 4 and data.shape[-1] > 4:
+            return np.moveaxis(data, 1, -1)
+        return data
+    raise ValueError(f"cannot interpret shape {data.shape} as {ndim}-D series")
+
+
+def _load_raw(spec: DatasetSpec, data_dir: str, which_pkl: str | None = None) -> np.ndarray:
+    pkl_name = which_pkl or spec.pkl_file
+    if spec.generator is not None:
+        path = os.path.join(data_dir, f"{spec.name}.pkl")
+        if not os.path.exists(path):
+            os.makedirs(data_dir, exist_ok=True)
+            arr = spec.generator()
+            with open(path, "wb") as f:
+                pickle.dump(arr, f, protocol=4)
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+    else:
+        path = os.path.join(data_dir, pkl_name)
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+    data = _to_channels_last(np.asarray(data, np.float32), spec.ndim)
+    if not spec.has_flow and spec.generator is None:
+        data = data[..., :1]
+    return data
+
+
+def _apply_slices(data: np.ndarray, slices: Slices) -> np.ndarray:
+    parts = [data[slice(a, b)] for a, b in slices]
+    return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+
+
+def _prepare(spec: DatasetSpec, data: np.ndarray, slices: Slices, exp: int,
+             augment: bool) -> np.ndarray:
+    sub = _apply_slices(data, slices)
+    if spec.resample_stride:
+        sub = temporal_resample(sub, spec.resample_stride)
+    if augment and spec.flip_aug:
+        sub = flip_augment(sub)
+    return group_tuples(sub, exp)
+
+
+def load_data(
+    dataset: str,
+    exp: int = 1,
+    mode: str = "train",
+    data_dir: str = "data_cache",
+):
+    """(train_tuples, val_tuples) for mode='train'; test_tuples for mode='test'."""
+    spec = get_spec(dataset)
+    data = minmax_normalize(_load_raw(spec, data_dir))
+    if mode == "train":
+        if spec.val_pkl_file:  # droplet3d ships pre-split pkls
+            val_raw = minmax_normalize(
+                _load_raw(spec, data_dir, which_pkl=spec.val_pkl_file)
+            )
+            train = _prepare(spec, data, spec.train, exp, augment=True)
+            val = _prepare(spec, val_raw, spec.val, exp, augment=False)
+        else:
+            train = _prepare(spec, data, spec.train, exp, augment=True)
+            val = _prepare(spec, data, spec.val, exp, augment=False)
+        return train, val
+    return _prepare(spec, data, spec.test, exp, augment=False)

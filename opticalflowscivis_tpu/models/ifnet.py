@@ -1,0 +1,206 @@
+"""IFNet — RIFE-style student/teacher coarse-to-fine intermediate-flow network.
+
+A single dimension-generic implementation replacing the reference's hand-forked
+pair (``Flow-2D/model/IFNet.py`` and ``Flow-3D/model/IFNet.py``):
+
+- ``IFBlock`` ⇔ IFNet.py:34-122 (version=2): two stride-2 convs, four residual
+  double-conv blocks, two transposed-conv heads emitting ``2*ndim`` flow channels
+  (F_t→0 and F_t→1) and 1 mask channel; inputs/flow are bilinearly downscaled by
+  ``scale`` before and the outputs upscaled (flow values rescaled) after
+  (IFNet.py:88-117).
+- ``IFNet`` ⇔ IFNet.py:124-276: three student blocks at scales (4, 2, 1) with
+  channels (128, 96, 64) in 2-D / (128, 64, 64) in 3-D (Flow-3D/model/IFNet.py:
+  125-128), iterative residual flow refinement with backward warping of both
+  inputs each round, a teacher block that additionally sees the ground-truth
+  middle frame (scale 1), mask-blended merging, and the masked-RMSE distillation
+  loss (IFNet.py:239-248).
+- Timestep conditioning (the IFNet_m "arbitrary timestep" variant,
+  Flow-2D/model/IFNet_m.py:63-82) is a config flag: a constant ``timestep``
+  channel is appended to every block input.
+- Optional Contextnet/Unet refinement ⇔ Flow-2D/model/refine.py (off by default,
+  IFNet.py:32) lives in ``models/refine.py``.
+
+TPU-first deviations from the reference (behaviour-preserving):
+- channels-last layout, static shapes (inputs pre-padded to /32 — no per-step
+  "correct shapes" cropping, which only existed to patch odd-size drift).
+- the flow tensor is ``[..., 2*ndim]`` with ``flow[..., :ndim]`` = F_t→0 and
+  ``flow[..., ndim:]`` = F_t→1, each ordered row-major (dy, dx) / (dz, dy, dx)
+  to match ``ops.backward_warp``.
+- compute dtype configurable (bfloat16 for MXU); losses accumulate in float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from opticalflowscivis_tpu.models.layers import ConvPReLU, DeconvPReLU, PReLU, ResConvBlock
+from opticalflowscivis_tpu.ops import backward_warp, resize_flow, resize_spatial
+
+
+class IFBlock(nn.Module):
+    """One coarse-to-fine refinement block (IFNet.py:34-122, version=2)."""
+
+    ndim: int = 2
+    c: int = 64
+    conv0_kernel: int = 3  # reference uses 3 in 2-D, 4 in 3-D (Flow-3D IFNet.py:35-38)
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, flow: jax.Array | None, scale: int):
+        nd, c = self.ndim, self.c
+        full_spatial = x.shape[1:-1]
+        if scale != 1:
+            small = tuple(s // scale for s in full_spatial)
+            x = resize_spatial(x, small)
+            if flow is not None:
+                flow = resize_flow(flow, small)  # values rescale by 1/scale
+        if flow is not None:
+            x = jnp.concatenate([x, flow.astype(x.dtype)], axis=-1)
+
+        x = ConvPReLU(c // 2, nd, kernel_size=self.conv0_kernel, stride=2, dtype=self.dtype)(x)
+        x = ConvPReLU(c, nd, kernel_size=self.conv0_kernel, stride=2, dtype=self.dtype)(x)
+        for _ in range(4):
+            x = ResConvBlock(c, nd, dtype=self.dtype)(x)
+
+        # flow head: deconv(c -> c/2) + deconv(c/2 -> 2*ndim)
+        f = DeconvPReLU(c // 2, nd, dtype=self.dtype)(x)
+        f = nn.ConvTranspose(2 * nd, kernel_size=(4,) * nd, strides=(2,) * nd,
+                             padding="SAME", dtype=self.dtype)(f)
+        # mask head: deconv(c -> c/2) + deconv(c/2 -> 1)
+        m = DeconvPReLU(c // 2, nd, dtype=self.dtype)(x)
+        m = nn.ConvTranspose(1, kernel_size=(4,) * nd, strides=(2,) * nd,
+                             padding="SAME", dtype=self.dtype)(m)
+
+        if scale != 1:
+            f = resize_flow(f, full_spatial)  # values rescale by `scale`
+            m = resize_spatial(m, full_spatial)
+        return f, m
+
+
+class IFNet(nn.Module):
+    """Student/teacher coarse-to-fine interpolation flow network.
+
+    Call with ``img0, img1`` of shape ``[B, *spatial, C]`` (C=1 for SciVis
+    fields, 3 for RGB); ``gt`` (the real middle frame) enables the teacher
+    branch and distillation loss during training.
+    """
+
+    ndim: int = 2
+    in_channels: int = 1
+    block_channels: Sequence[int] = (128, 96, 64)
+    scales: Sequence[int] = (4, 2, 1)
+    teacher_channels: int = 64
+    arbitrary_timestep: bool = False  # IFNet_m variant: timestep as input channel
+    conv0_kernel: int = 3
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(
+        self,
+        img0: jax.Array,
+        img1: jax.Array,
+        gt: jax.Array | None = None,
+        timestep: float | jax.Array = 0.5,
+    ):
+        nd = self.ndim
+        n_blocks = len(self.block_channels)
+        compute = img0.dtype if self.dtype is None else self.dtype
+        img0 = img0.astype(compute)
+        img1 = img1.astype(compute)
+
+        def ts_channel(ref):
+            t = jnp.asarray(timestep, compute)
+            return jnp.broadcast_to(t, ref.shape[:-1] + (1,))
+
+        blocks = [
+            IFBlock(nd, c, conv0_kernel=self.conv0_kernel, dtype=self.dtype,
+                    name=f"block{i}")
+            for i, c in enumerate(self.block_channels)
+        ]
+
+        flow = None
+        mask = None
+        warped0, warped1 = img0, img1
+        flow_list, mask_list, merged = [], [], []
+        for i in range(n_blocks):
+            if flow is None:
+                inp = [img0, img1]
+            else:
+                inp = [img0, img1, warped0, warped1, mask]
+            if self.arbitrary_timestep:
+                inp.append(ts_channel(img0))
+            flow_d, mask_d = blocks[i](jnp.concatenate(inp, axis=-1), flow,
+                                       scale=self.scales[i])
+            flow = flow_d if flow is None else flow + flow_d
+            mask = mask_d if mask is None else mask + mask_d
+            flow_list.append(flow)
+            mask_list.append(jax.nn.sigmoid(mask))
+            warped0 = backward_warp(img0, flow[..., :nd])  # F_t→0 samples img0
+            warped1 = backward_warp(img1, flow[..., nd:])  # F_t→1 samples img1
+            merged.append((warped0, warped1))
+
+        flow_teacher = None
+        merged_teacher = None
+        loss_distill = jnp.zeros((), jnp.float32)
+        if gt is not None:
+            gt = gt.astype(compute)
+            tea_inp = [img0, img1, warped0, warped1, mask, gt]
+            if self.arbitrary_timestep:
+                tea_inp.append(ts_channel(img0))
+            flow_d, mask_d = IFBlock(
+                nd, self.teacher_channels, conv0_kernel=self.conv0_kernel,
+                dtype=self.dtype, name="block_tea",
+            )(jnp.concatenate(tea_inp, axis=-1), flow, scale=1)
+            flow_teacher = flow + flow_d
+            w0_tea = backward_warp(img0, flow_teacher[..., :nd])
+            w1_tea = backward_warp(img1, flow_teacher[..., nd:])
+            mask_teacher = jax.nn.sigmoid(mask + mask_d)
+            merged_teacher = w0_tea * mask_teacher + w1_tea * (1 - mask_teacher)
+
+        merged_out = []
+        for i in range(n_blocks):
+            m = merged[i][0] * mask_list[i] + merged[i][1] * (1 - mask_list[i])
+            merged_out.append(m)
+            if gt is not None:
+                # Distill student flow toward teacher where the student's
+                # reconstruction is worse by >0.01 (IFNet.py:246-248).
+                err_stu = jnp.mean(jnp.abs(m - gt), axis=-1, keepdims=True)
+                err_tea = jnp.mean(jnp.abs(merged_teacher - gt), axis=-1, keepdims=True)
+                worse = jax.lax.stop_gradient(
+                    (err_stu > err_tea + 0.01).astype(jnp.float32)
+                )
+                rmse = jnp.sqrt(
+                    jnp.mean(
+                        (jax.lax.stop_gradient(flow_teacher) - flow_list[i]).astype(jnp.float32) ** 2,
+                        axis=-1,
+                        keepdims=True,
+                    )
+                )
+                loss_distill = loss_distill + jnp.mean(rmse * worse)
+
+        return {
+            "flow_list": flow_list,
+            "mask_list": mask_list,
+            "merged": merged_out,
+            "flow_teacher": flow_teacher,
+            "merged_teacher": merged_teacher,
+            "loss_distill": loss_distill,
+        }
+
+
+def ifnet_2d(in_channels: int = 1, dtype: Any = None, **kw) -> IFNet:
+    """Reference Flow-2D configuration (IFNet.py:124-138)."""
+    return IFNet(ndim=2, in_channels=in_channels,
+                 block_channels=(128, 96, 64), teacher_channels=64,
+                 conv0_kernel=3, dtype=dtype, **kw)
+
+
+def ifnet_3d(in_channels: int = 1, dtype: Any = None, **kw) -> IFNet:
+    """Reference Flow-3D configuration (Flow-3D/model/IFNet.py:125-128)."""
+    return IFNet(ndim=3, in_channels=in_channels,
+                 block_channels=(128, 64, 64), teacher_channels=64,
+                 conv0_kernel=4, dtype=dtype, **kw)

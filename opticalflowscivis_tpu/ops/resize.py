@@ -31,11 +31,18 @@ def resize_like(x: jax.Array, ref: jax.Array, method: str = "linear") -> jax.Arr
 
 
 def resize_flow(flow: jax.Array, spatial: tuple[int, ...], method: str = "linear") -> jax.Array:
-    """Resize a pixel-displacement field and rescale magnitudes per axis."""
+    """Resize a pixel-displacement field and rescale magnitudes per axis.
+
+    The channel count must be a multiple of ``ndim`` — e.g. ``2*ndim`` for the
+    stacked (F_t→0, F_t→1) flow that RIFE's IFBlocks carry (IFNet.py:92,115).
+    """
     src = flow.shape[1:-1]
+    ndim = len(src)
+    if flow.shape[-1] % ndim:
+        raise ValueError(f"flow channels {flow.shape[-1]} not a multiple of ndim {ndim}")
     out = resize_spatial(flow, spatial, method=method)
     ratios = jnp.asarray([t / s for t, s in zip(spatial, src)], out.dtype)
-    return out * ratios
+    return out * jnp.tile(ratios, flow.shape[-1] // ndim)
 
 
 def upsample_flow_as(flow: jax.Array, ref: jax.Array, method: str = "linear") -> jax.Array:

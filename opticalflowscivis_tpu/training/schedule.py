@@ -1,0 +1,28 @@
+"""LR schedule — linear warmup + cosine decay (Flow-2D/train.py:47-53).
+
+Reference semantics: lr = 3e-4 * step/2000 for step < 2000, then a cosine from
+3e-4 down to 3e-6 over the remaining (epochs*steps_per_epoch - 2000) steps; the
+result is multiplied by world_size/4 (train.py:162).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def warmup_cosine(
+    lr_max: float = 3e-4,
+    lr_min: float = 3e-6,
+    warmup_steps: int = 2000,
+    total_steps: int = 100_000,
+    world_scale: float = 1.0,
+):
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = lr_max * step / max(warmup_steps, 1)
+        denom = max(total_steps - warmup_steps, 1)
+        mul = jnp.cos((step - warmup_steps) / denom * jnp.pi) * 0.5 + 0.5
+        decay = (lr_max - lr_min) * mul + lr_min
+        return jnp.where(step < warmup_steps, warm, decay) * world_scale
+
+    return schedule

@@ -1,0 +1,292 @@
+"""RIFE training runtime — one jitted train step over a device mesh.
+
+Replaces the reference's train loop (Flow-2D/train.py:70-232, Flow-3D/train.py)
+and Model.update (RIFE.py:80-317):
+
+- functional ``TrainState`` (params + AdamW state + step) instead of the
+  ``Model`` wrapper class;
+- a single jitted ``train_step`` containing forward, all losses, grads and the
+  optimizer update — batch sharded over the mesh ``data`` axis, params
+  replicated, so the gradient allreduce is XLA's psum over ICI (the DDP/NCCL
+  equivalent, train.py:567);
+- AdamW(weight_decay=1e-3) with the warmup-cosine schedule (RIFE.py:26,
+  train.py:47-53);
+- per-epoch ``evaluate`` appending the reference's 7-component loss tuple to
+  ``Results/<ds>/<factor>x/<model>/loss.json`` (train.py:516-544) and writing a
+  checkpoint (RIFE.py:61-64) — ours also stores optimizer state (the reference
+  never does, SURVEY.md §5), via Orbax;
+- Flow-3D's best-val-only checkpointing + early stopping as config options
+  (Flow-3D/train.py:400-412).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from opticalflowscivis_tpu.data import TupleDataset, get_spec, load_data, pad_to_multiple
+from opticalflowscivis_tpu.losses.rife import rife_losses
+from opticalflowscivis_tpu.models.ifnet import IFNet
+from opticalflowscivis_tpu.parallel import make_mesh
+from opticalflowscivis_tpu.training.config import TrainConfig
+from opticalflowscivis_tpu.training.schedule import warmup_cosine
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def build_model(cfg: TrainConfig) -> IFNet:
+    m = cfg.model
+    return IFNet(
+        ndim=m.ndim,
+        in_channels=m.in_channels,
+        block_channels=tuple(m.block_channels),
+        scales=tuple(m.scales),
+        teacher_channels=m.teacher_channels,
+        arbitrary_timestep=m.arbitrary_timestep,
+        conv0_kernel=m.conv0_kernel,
+        dtype=jnp.bfloat16 if m.bfloat16 else None,
+    )
+
+
+def split_batch(batch: jax.Array, ndim: int, has_flow: bool):
+    """``[B, slots, *S, C]`` → (img0, img1, gt, gt_flow|None).
+
+    Slot order is (img0, img1, gt...) per ``data.group_tuples``; channel 0 is
+    the scalar field, channels 1..ndim GT flow (RIFE.py:84-104 equivalent).
+    """
+    img0 = batch[:, 0, ..., :1]
+    img1 = batch[:, 1, ..., :1]
+    gt = batch[:, 2, ..., :1]
+    gt_flow = batch[:, 2, ..., 1 : 1 + ndim] if has_flow else None
+    return img0, img1, gt, gt_flow
+
+
+def make_train_step(model: IFNet, cfg: TrainConfig, has_flow: bool):
+    ndim = cfg.model.ndim
+
+    def loss_fn(params, batch):
+        img0, img1, gt, gt_flow = split_batch(batch, ndim, has_flow)
+        outputs = model.apply(params, img0, img1, gt)
+        return rife_losses(
+            outputs, img0, img1, gt, params, cfg.loss, ndim, gt_flow=gt_flow
+        )
+
+    def train_step(state: TrainState, batch: jax.Array):
+        (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        state = state.apply_gradients(grads=grads)
+        return state, parts
+
+    def eval_step(state: TrainState, batch: jax.Array):
+        img0, img1, gt, gt_flow = split_batch(batch, ndim, has_flow)
+        outputs = model.apply(state.params, img0, img1, gt)
+        _, parts = rife_losses(
+            outputs, img0, img1, gt, state.params, cfg.loss, ndim, gt_flow=gt_flow
+        )
+        # merged prediction + teacher + flow for metric/visual consumers
+        extras = {
+            "pred": outputs["merged"][-1],
+            "pred_tea": outputs["merged_teacher"],
+            "flow": outputs["flow_list"][-1],
+            "mask": outputs["mask_list"][-1],
+        }
+        return parts, extras
+
+    return train_step, eval_step
+
+
+class Trainer:
+    """End-to-end RIFE trainer (2-D and 3-D via config)."""
+
+    def __init__(self, cfg: TrainConfig, mesh=None):
+        self.cfg = cfg
+        self.spec = get_spec(cfg.dataset)
+        if cfg.model.ndim != self.spec.ndim:
+            raise ValueError(
+                f"model ndim {cfg.model.ndim} != dataset ndim {self.spec.ndim}"
+            )
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.n_data)
+        self.model = build_model(cfg)
+        self.has_flow = self.spec.has_flow and cfg.loss.flow > 0
+        self._train_step_fn, self._eval_step_fn = make_train_step(
+            self.model, cfg, self.has_flow
+        )
+        self.batch_sharding = NamedSharding(self.mesh, P("data"))
+        self.repl = NamedSharding(self.mesh, P())
+        self.state: TrainState | None = None
+        self.steps_per_epoch = 1  # set by fit()
+        self._jit_train = None
+        self._jit_eval = None
+
+    # -- state ------------------------------------------------------------
+    def init_state(self, sample_batch: np.ndarray, total_steps: int) -> TrainState:
+        cfg = self.cfg
+        img0, img1, gt, _ = split_batch(
+            jnp.asarray(sample_batch[:1]), cfg.model.ndim, self.has_flow
+        )
+        params = jax.jit(self.model.init)(jax.random.PRNGKey(cfg.seed), img0, img1, gt)
+        sched = warmup_cosine(
+            cfg.optim.lr_max,
+            cfg.optim.lr_min,
+            cfg.optim.warmup_steps,
+            total_steps,
+            cfg.optim.world_scale,
+        )
+        tx = optax.adamw(sched, weight_decay=cfg.optim.weight_decay)
+        if cfg.optim.grad_clip:
+            tx = optax.chain(optax.clip_by_global_norm(cfg.optim.grad_clip), tx)
+        state = TrainState.create(apply_fn=self.model.apply, params=params, tx=tx)
+        self.state = jax.device_put(state, self.repl)
+        self._jit_train = jax.jit(
+            self._train_step_fn,
+            in_shardings=(self.repl, self.batch_sharding),
+            out_shardings=(self.repl, self.repl),
+            donate_argnums=(0,),
+        )
+        self._jit_eval = jax.jit(
+            self._eval_step_fn,
+            in_shardings=(self.repl, self.batch_sharding),
+        )
+        return self.state
+
+    # -- data -------------------------------------------------------------
+    def load_datasets(self):
+        cfg = self.cfg
+        train, val = load_data(cfg.dataset, cfg.exp, "train", cfg.data_dir)
+        return self._pad_spatial(train), self._pad_spatial(val)
+
+    def _pad_spatial(self, arr: np.ndarray) -> np.ndarray:
+        out, _ = pad_to_multiple(arr, self.cfg.pad_multiple, leading_axes=2)
+        return out
+
+    # -- loops ------------------------------------------------------------
+    def fit(self, train_tuples: np.ndarray, val_tuples: np.ndarray,
+            epochs: int | None = None, log_every: int = 50,
+            on_epoch_end=None):
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.epochs
+        batch = cfg.batch_size or self.spec.batch_size
+        batch = min(batch, train_tuples.shape[0])
+        # keep batch divisible by mesh data axis
+        n_data = self.mesh.shape["data"]
+        batch = max(n_data, (batch // n_data) * n_data)
+        ds = TupleDataset(train_tuples, batch, seed=cfg.seed)
+        self.steps_per_epoch = len(ds)
+        total_steps = max(self.steps_per_epoch * epochs, 1)
+        if self.state is None:
+            self.init_state(train_tuples[:batch], total_steps)
+
+        history = []
+        best_val = np.inf
+        patience = 0
+        t0 = time.time()
+        step = 0
+        for epoch in range(epochs):
+            for batch_np in ds.epoch():
+                batch_dev = jax.device_put(jnp.asarray(batch_np), self.batch_sharding)
+                self.state, parts = self._jit_train(self.state, batch_dev)
+                step += 1
+                if log_every and step % log_every == 0:
+                    g = float(parts["loss_G"])
+                    rate = step / (time.time() - t0)
+                    print(f"epoch {epoch} step {step} loss_G {g:.5f} "
+                          f"({rate:.2f} it/s)", flush=True)
+            val_parts = self.evaluate(val_tuples, batch)
+            history.append(val_parts)
+            self._append_loss_json(val_parts)
+            val_g = val_parts["loss_G"]
+            improved = val_g < best_val
+            if improved:
+                best_val = val_g
+                patience = 0
+            else:
+                patience += 1
+            if not cfg.keep_best_only or improved:
+                self.save_checkpoint()
+            if cfg.early_stop_patience and patience >= cfg.early_stop_patience:
+                print(f"early stopping at epoch {epoch}", flush=True)
+                break
+            if on_epoch_end is not None:
+                on_epoch_end(epoch, val_parts)
+        return history
+
+    def evaluate(self, val_tuples: np.ndarray, batch_size: int | None = None):
+        batch = batch_size or min(16, val_tuples.shape[0])
+        n_data = self.mesh.shape["data"]
+        batch = max(n_data, (batch // n_data) * n_data)
+        sums: dict[str, float] = {}
+        n = 0
+        for i in range(0, val_tuples.shape[0] - batch + 1, batch):
+            b = jax.device_put(
+                jnp.asarray(val_tuples[i : i + batch]), self.batch_sharding
+            )
+            parts, _ = self._jit_eval(self.state, b)
+            for k, v in parts.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in sums.items()}
+
+    def predict(self, batch_np: np.ndarray):
+        """Eval-mode forward returning (loss parts, extras dict)."""
+        b = jax.device_put(jnp.asarray(batch_np), self.batch_sharding)
+        return self._jit_eval(self.state, b)
+
+    # -- persistence --------------------------------------------------------
+    @property
+    def results_dir(self) -> str:
+        cfg = self.cfg
+        factor = 2**cfg.exp
+        return os.path.join(cfg.results_dir, cfg.dataset, f"{factor}x", cfg.model_name)
+
+    def _append_loss_json(self, parts: dict[str, float]):
+        """loss.json parity: append the 7-tuple (train.py:516-544)."""
+        os.makedirs(self.results_dir, exist_ok=True)
+        path = os.path.join(self.results_dir, "loss.json")
+        tup = [
+            parts["loss_G"], parts["loss_l1"], parts["loss_tea"],
+            parts["loss_distill"], parts["l1_reg"], parts["loss_photo"],
+            parts["loss_flow"],
+        ]
+        data = {"val_loss": []}
+        if os.path.exists(path):
+            with open(path) as f:
+                data = json.load(f)
+        data["val_loss"].append(tup)
+        with open(path, "w+") as f:
+            json.dump(data, f, indent=4)
+
+    def checkpoint_path(self) -> str:
+        return os.path.abspath(
+            os.path.join(self.cfg.log_dir, self.cfg.model_name + ".ckpt")
+        )
+
+    def save_checkpoint(self):
+        if jax.process_index() != 0:  # rank-0 save (RIFE.py:61-64)
+            return
+        from opticalflowscivis_tpu.training.checkpoint import save_state
+
+        save_state(self.checkpoint_path(), self.state)
+
+    def load_checkpoint(self) -> bool:
+        """Restore if a checkpoint exists; fall back to scratch (train.py:117-122)."""
+        from opticalflowscivis_tpu.training.checkpoint import restore_state
+
+        try:
+            self.state = restore_state(self.checkpoint_path(), self.state)
+            return True
+        except Exception as e:  # noqa: BLE001 — parity with reference fallback
+            print(f"No usable checkpoint ({e}); training from scratch.", flush=True)
+            return False

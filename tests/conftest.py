@@ -6,7 +6,10 @@ XLA_FLAGS host-platform device count must be set before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The test environment may force a hardware platform via JAX_PLATFORMS (e.g.
+# the axon TPU tunnel) and a sitecustomize hook that reads it at startup, so
+# plain env vars are not enough — override through jax.config as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +18,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert len(jax.devices()) == 8, "virtual 8-device CPU mesh not active"

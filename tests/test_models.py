@@ -1,0 +1,80 @@
+"""IFNet model tests — shapes, teacher branch, inference mode, rank-genericity."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from opticalflowscivis_tpu.models import IFNet
+
+
+def tiny_net(ndim=2, **kw):
+    return IFNet(
+        ndim=ndim,
+        block_channels=(16, 12, 8),
+        teacher_channels=8,
+        conv0_kernel=3,
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def net2d_and_params():
+    net = tiny_net()
+    x = jnp.zeros((2, 32, 32, 1))
+    params = net.init(jax.random.PRNGKey(0), x, x, x)
+    return net, params
+
+
+def test_forward_shapes_2d(net2d_and_params):
+    net, params = net2d_and_params
+    k = jax.random.PRNGKey(1)
+    img0 = jax.random.uniform(k, (2, 32, 32, 1))
+    img1 = jax.random.uniform(jax.random.fold_in(k, 1), (2, 32, 32, 1))
+    gt = jax.random.uniform(jax.random.fold_in(k, 2), (2, 32, 32, 1))
+    out = net.apply(params, img0, img1, gt)
+    assert len(out["merged"]) == 3
+    for m, f, mk in zip(out["merged"], out["flow_list"], out["mask_list"]):
+        assert m.shape == (2, 32, 32, 1)
+        assert f.shape == (2, 32, 32, 4)
+        assert mk.shape == (2, 32, 32, 1)
+        assert float(mk.min()) >= 0.0 and float(mk.max()) <= 1.0
+    assert out["flow_teacher"].shape == (2, 32, 32, 4)
+    assert out["merged_teacher"].shape == (2, 32, 32, 1)
+    assert jnp.isfinite(out["loss_distill"])
+
+
+def test_inference_without_gt(net2d_and_params):
+    """gt=None (inference) must skip the teacher and reuse the same params."""
+    net, params = net2d_and_params
+    img = jnp.ones((1, 32, 32, 1)) * 0.5
+    out = net.apply(params, img, img, None)
+    assert out["flow_teacher"] is None
+    assert out["merged_teacher"] is None
+    assert out["merged"][-1].shape == (1, 32, 32, 1)
+    # identical frames: prediction should be close to the inputs
+    assert float(jnp.abs(out["merged"][-1] - img).mean()) < 0.2
+
+
+def test_teacher_params_unused_at_inference(net2d_and_params):
+    """Param tree contains the teacher block; student path must not need it."""
+    net, params = net2d_and_params
+    keys = params["params"].keys()
+    assert "block_tea" in keys and "block0" in keys
+
+
+def test_forward_shapes_3d():
+    net = tiny_net(ndim=3)
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    params = net.init(jax.random.PRNGKey(0), x, x, x)
+    out = net.apply(params, x, x, x)
+    assert out["merged"][-1].shape == (1, 16, 16, 16, 1)
+    assert out["flow_list"][-1].shape == (1, 16, 16, 16, 6)
+
+
+def test_arbitrary_timestep():
+    net = tiny_net(arbitrary_timestep=True)
+    x = jnp.zeros((1, 32, 32, 1))
+    params = net.init(jax.random.PRNGKey(0), x, x, None)
+    o1 = net.apply(params, x, x, None, timestep=0.25)
+    o2 = net.apply(params, x, x, None, timestep=0.75)
+    assert o1["merged"][-1].shape == o2["merged"][-1].shape
