@@ -18,19 +18,55 @@ import jax
 import jax.numpy as jnp
 
 
-def resize_spatial(x: jax.Array, spatial: tuple[int, ...], method: str = "linear") -> jax.Array:
-    """Resize ``[B, *S, C]`` to ``[B, *spatial, C]`` (half-pixel / align_corners=False)."""
+def _resize_align_corners(x: jax.Array, spatial: tuple[int, ...]) -> jax.Array:
+    """Linear resize with align_corners=True (UPFlow path, pwc_modules.py:77-90).
+
+    Endpoint-aligned sampling: out coord i ↦ in coord i*(src-1)/(dst-1), done via
+    ``jax.image.scale_and_translate`` (scale=(dst-1)/(src-1), translation chosen
+    so the half-pixel convention cancels).
+    """
+    src = x.shape[1:-1]
+    scales = [(d - 1) / (s - 1) if s > 1 else 1.0 for d, s in zip(spatial, src)]
+    trans = [0.5 - 0.5 * sc for sc in scales]
+    out_shape = (x.shape[0], *spatial, x.shape[-1])
+    return jax.image.scale_and_translate(
+        x,
+        out_shape,
+        spatial_dims=tuple(range(1, x.ndim - 1)),
+        scale=jnp.asarray(scales, jnp.float32),
+        translation=jnp.asarray(trans, jnp.float32),
+        method="linear",
+        antialias=False,
+    )
+
+
+def resize_spatial(
+    x: jax.Array,
+    spatial: tuple[int, ...],
+    method: str = "linear",
+    align_corners: bool = False,
+) -> jax.Array:
+    """Resize ``[B, *S, C]`` to ``[B, *spatial, C]``.
+
+    ``align_corners=False`` is half-pixel (torch F.interpolate default, the RIFE
+    path); ``align_corners=True`` is endpoint-aligned (the UPFlow path).
+    """
     out_shape = (x.shape[0], *spatial, x.shape[-1])
     if out_shape == x.shape:
         return x
+    if align_corners:
+        return _resize_align_corners(x, spatial)
     return jax.image.resize(x, out_shape, method=method)
 
 
-def resize_like(x: jax.Array, ref: jax.Array, method: str = "linear") -> jax.Array:
-    return resize_spatial(x, tuple(ref.shape[1:-1]), method=method)
+def resize_like(x: jax.Array, ref: jax.Array, method: str = "linear",
+                align_corners: bool = False) -> jax.Array:
+    return resize_spatial(x, tuple(ref.shape[1:-1]), method=method,
+                          align_corners=align_corners)
 
 
-def resize_flow(flow: jax.Array, spatial: tuple[int, ...], method: str = "linear") -> jax.Array:
+def resize_flow(flow: jax.Array, spatial: tuple[int, ...], method: str = "linear",
+                align_corners: bool = False) -> jax.Array:
     """Resize a pixel-displacement field and rescale magnitudes per axis.
 
     The channel count must be a multiple of ``ndim`` — e.g. ``2*ndim`` for the
@@ -40,11 +76,13 @@ def resize_flow(flow: jax.Array, spatial: tuple[int, ...], method: str = "linear
     ndim = len(src)
     if flow.shape[-1] % ndim:
         raise ValueError(f"flow channels {flow.shape[-1]} not a multiple of ndim {ndim}")
-    out = resize_spatial(flow, spatial, method=method)
+    out = resize_spatial(flow, spatial, method=method, align_corners=align_corners)
     ratios = jnp.asarray([t / s for t, s in zip(spatial, src)], out.dtype)
     return out * jnp.tile(ratios, flow.shape[-1] // ndim)
 
 
 def upsample_flow_as(flow: jax.Array, ref: jax.Array, method: str = "linear") -> jax.Array:
-    """UPFlow's ``upsample2d_flow_as``: match ``ref``'s spatial shape, rescale values."""
-    return resize_flow(flow, tuple(ref.shape[1:-1]), method=method)
+    """UPFlow's ``upsample2d_flow_as(if_rate=True)`` (pwc_modules.py:77-90):
+    match ``ref``'s spatial shape with align_corners=True, rescale values."""
+    return resize_flow(flow, tuple(ref.shape[1:-1]), method=method,
+                       align_corners=True)

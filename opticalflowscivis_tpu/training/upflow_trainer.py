@@ -1,0 +1,191 @@
+"""UPFlow training runtime — parity with UPFlow/scripts/simple_train.py.
+
+- Adam(lr=1e-4, weight_decay=1e-4) with exponential decay gamma=1 (i.e. constant;
+  simple_train.py:147-151,189-190); batch 8 (:141).
+- ``Loss_manager``'s sum of photo/smooth/census/msd losses (:74-105) is the
+  ``upflow_losses`` composition.
+- Frame pairs: consecutive SciVis frames (im1=frame t, im2=frame t+1) stacked to
+  the network channel count — the reference tiles grayscale to 3-channel RGB
+  (upflow.py:376-395 scivis_data_dict).
+- Per-epoch checkpoint + loss.json append (:229-268); the reference wraps every
+  batch in a blanket try/except "Unexpected crash, continuing" (:206,309-310) —
+  we do not reproduce that (a jitted step either compiles or raises once).
+
+Same mesh/data-parallel structure as the RIFE Trainer: batch sharded over the
+``data`` axis, params replicated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from opticalflowscivis_tpu.data import TupleDataset, pad_to_multiple
+from opticalflowscivis_tpu.losses.upflow import UPFlowLossConfig, upflow_losses
+from opticalflowscivis_tpu.models.upflow import UPFlowConfig, UPFlowNet
+from opticalflowscivis_tpu.parallel import make_mesh
+
+
+@dataclasses.dataclass(frozen=True)
+class UPFlowTrainConfig:
+    batch_size: int = 8
+    n_epoch: int = 1000
+    lr: float = 1e-4
+    weight_decay: float = 1e-4
+    seed: int = 0
+    exp_dir: str = "./demo_exp"
+    bfloat16: bool = True
+    pad_multiple: int = 64  # 6 stride-2 levels
+    n_data: int | None = None
+    model: UPFlowConfig = dataclasses.field(default_factory=UPFlowConfig)
+    loss: UPFlowLossConfig = dataclasses.field(default_factory=UPFlowLossConfig)
+
+
+def frames_to_pairs(frames: np.ndarray, in_channels: int = 3) -> np.ndarray:
+    """``[T, H, W, 1]`` scalar series → ``[T-1, 2, H, W, C]`` (im1, im2) pairs.
+
+    Grayscale is tiled to ``in_channels`` like scivis_data_dict (upflow.py:383-390).
+    """
+    if frames.ndim == 3:
+        frames = frames[..., None]
+    f = np.repeat(frames[..., :1], in_channels, axis=-1) if in_channels > 1 else frames[..., :1]
+    return np.stack([f[:-1], f[1:]], axis=1)
+
+
+class UPFlowTrainer:
+    def __init__(self, cfg: UPFlowTrainConfig, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.n_data)
+        self.net = UPFlowNet(
+            cfg=cfg.model, dtype=jnp.bfloat16 if cfg.bfloat16 else None
+        )
+        self.batch_sharding = NamedSharding(self.mesh, P("data"))
+        self.repl = NamedSharding(self.mesh, P())
+        self.state = None
+
+        def train_step(state, pair):
+            im1, im2 = pair[:, 0], pair[:, 1]
+
+            def loss_fn(params):
+                out = self.net.apply(params, im1, im2)
+                return upflow_losses(out, im1, im2, cfg.loss)
+
+            (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            return state.apply_gradients(grads=grads), parts
+
+        def eval_step(state, pair):
+            im1, im2 = pair[:, 0], pair[:, 1]
+            out = self.net.apply(state.params, im1, im2)
+            total, parts = upflow_losses(out, im1, im2, cfg.loss)
+            return parts, {"flow_f": out["flow_f"], "flow_b": out["flow_b"]}
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+        self._jit_train = None
+        self._jit_eval = None
+
+    def init_state(self, sample_pair: np.ndarray):
+        cfg = self.cfg
+        im1 = jnp.asarray(sample_pair[:1, 0])
+        im2 = jnp.asarray(sample_pair[:1, 1])
+        params = jax.jit(self.net.init)(jax.random.PRNGKey(cfg.seed), im1, im2)
+        tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+        state = train_state.TrainState.create(
+            apply_fn=self.net.apply, params=params, tx=tx
+        )
+        self.state = jax.device_put(state, self.repl)
+        self._jit_train = jax.jit(
+            self._train_step,
+            in_shardings=(self.repl, self.batch_sharding),
+            out_shardings=(self.repl, self.repl),
+            donate_argnums=(0,),
+        )
+        self._jit_eval = jax.jit(
+            self._eval_step, in_shardings=(self.repl, self.batch_sharding)
+        )
+        return self.state
+
+    def fit(self, pairs: np.ndarray, epochs: int | None = None, log_every: int = 20):
+        cfg = self.cfg
+        pairs, _ = pad_to_multiple(pairs, cfg.pad_multiple, leading_axes=2)
+        epochs = epochs if epochs is not None else cfg.n_epoch
+        n_data = self.mesh.shape["data"]
+        batch = max(n_data, (min(cfg.batch_size, pairs.shape[0]) // n_data) * n_data)
+        ds = TupleDataset(pairs, batch, seed=cfg.seed)
+        if self.state is None:
+            self.init_state(pairs[:1])
+        history = []
+        t0 = time.time()
+        step = 0
+        for epoch in range(epochs):
+            meter: dict[str, float] = {}
+            n = 0
+            for b in ds.epoch():
+                self.state, parts = self._jit_train(
+                    self.state, jax.device_put(jnp.asarray(b), self.batch_sharding)
+                )
+                step += 1
+                for k, v in parts.items():
+                    meter[k] = meter.get(k, 0.0) + float(v)
+                n += 1
+                if log_every and step % log_every == 0:
+                    print(
+                        f"epoch {epoch} step {step} loss "
+                        f"{meter['loss_total']/n:.5f} ({step/(time.time()-t0):.2f} it/s)",
+                        flush=True,
+                    )
+            epoch_means = {k: v / max(n, 1) for k, v in meter.items()}
+            history.append(epoch_means)
+            self._append_loss_json(epoch_means)
+            self.save_checkpoint()
+        return history
+
+    def predict(self, pairs: np.ndarray):
+        pairs, _ = pad_to_multiple(pairs, self.cfg.pad_multiple, leading_axes=2)
+        if self.state is None:
+            self.init_state(pairs[:1])
+        return self._jit_eval(
+            self.state, jax.device_put(jnp.asarray(pairs), self.batch_sharding)
+        )
+
+    def _append_loss_json(self, parts: dict[str, float]):
+        os.makedirs(self.cfg.exp_dir, exist_ok=True)
+        path = os.path.join(self.cfg.exp_dir, "loss.json")
+        data = {"loss": []}
+        if os.path.exists(path):
+            with open(path) as f:
+                data = json.load(f)
+        data["loss"].append(parts)
+        with open(path, "w+") as f:
+            json.dump(data, f, indent=4)
+
+    def save_checkpoint(self):
+        if jax.process_index() != 0:
+            return
+        from opticalflowscivis_tpu.training.checkpoint import save_state
+
+        save_state(
+            os.path.abspath(os.path.join(self.cfg.exp_dir, "upflow.ckpt")), self.state
+        )
+
+    def load_checkpoint(self) -> bool:
+        from opticalflowscivis_tpu.training.checkpoint import restore_state
+
+        try:
+            self.state = restore_state(
+                os.path.abspath(os.path.join(self.cfg.exp_dir, "upflow.ckpt")),
+                self.state,
+            )
+            return True
+        except Exception as e:  # noqa: BLE001
+            print(f"No usable checkpoint ({e}); training from scratch.", flush=True)
+            return False

