@@ -1,0 +1,346 @@
+"""CLI dispatcher — ``python -m opticalflowscivis_tpu.cli <verb> [flags]``.
+
+Flags follow the reference argparse surfaces (Flow-2D/train.py:556-564,
+inference_video.py:394-409) with the code-as-config knobs promoted to flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--dataset", default="rectangle2d")
+    p.add_argument("--exp", type=int, default=1, help="interpolate 2**exp x")
+    p.add_argument("--data_dir", default="data_cache")
+    p.add_argument("--results_dir", default="Results")
+    p.add_argument("--log_dir", default="train_log")
+    p.add_argument("--model_name", default="flownet")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--config_json", default=None,
+                   help="path to a TrainConfig json overriding flags")
+
+
+def _maybe_cpu(args):
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def _build_cfg(args, epochs=None, batch_size=None):
+    from opticalflowscivis_tpu.data import get_spec
+    from opticalflowscivis_tpu.losses.rife import RIFELossWeights
+    from opticalflowscivis_tpu.training import ModelConfig, TrainConfig
+
+    if args.config_json:
+        with open(args.config_json) as f:
+            return TrainConfig.from_json(f.read())
+    spec = get_spec(args.dataset)
+    if spec.ndim == 3:
+        model = ModelConfig.preset_3d()
+        loss = RIFELossWeights.preset_3d()
+    else:
+        model = ModelConfig.preset_2d()
+        loss = RIFELossWeights.preset_2d(
+            flow_supervised=getattr(args, "flow_supervised", False)
+        )
+    return TrainConfig(
+        dataset=args.dataset,
+        exp=args.exp,
+        epochs=epochs if epochs is not None else getattr(args, "epochs", 300),
+        batch_size=batch_size if batch_size is not None else getattr(args, "batch_size", None),
+        data_dir=args.data_dir,
+        results_dir=args.results_dir,
+        log_dir=args.log_dir,
+        model_name=args.model_name,
+        model=model,
+        loss=loss,
+        early_stop_patience=1000 if spec.ndim == 3 else 0,  # Flow-3D/train.py:400-412
+        keep_best_only=spec.ndim == 3,
+    )
+
+
+def cmd_train(argv):
+    p = argparse.ArgumentParser(prog="train")
+    _add_common(p)
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--flow_supervised", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args(argv)
+    _maybe_cpu(args)
+
+    from opticalflowscivis_tpu.training import Trainer
+
+    cfg = _build_cfg(args)
+    tr = Trainer(cfg)
+    train, val = tr.load_datasets()
+    print(f"train tuples {train.shape}, val tuples {val.shape}", flush=True)
+    if args.resume:
+        # needs an initialized state to restore into
+        batch = cfg.batch_size or tr.spec.batch_size
+        tr.init_state(train[: min(batch, train.shape[0])],
+                      total_steps=max(1, cfg.epochs * (train.shape[0] // max(batch, 1))))
+        tr.load_checkpoint()
+    hist = tr.fit(train, val)
+    print(json.dumps({"final_val": hist[-1] if hist else None}), flush=True)
+
+
+def cmd_test(argv):
+    p = argparse.ArgumentParser(prog="test")
+    _add_common(p)
+    p.add_argument("--batch_size", type=int, default=16)
+    args = p.parse_args(argv)
+    _maybe_cpu(args)
+
+    import jax.numpy as jnp
+
+    from opticalflowscivis_tpu.data import get_spec, load_data, pad_to_multiple
+    from opticalflowscivis_tpu.evalsuite import calculate_diff, calculate_metrics
+    from opticalflowscivis_tpu.inference import Interpolator, batched_pair_inference
+    from opticalflowscivis_tpu.losses import epe
+    from opticalflowscivis_tpu.training import Trainer
+    from opticalflowscivis_tpu.viz import plot_loss, visualize_large
+
+    cfg = _build_cfg(args)
+    spec = get_spec(args.dataset)
+    tr = Trainer(cfg)
+    test = load_data(args.dataset, args.exp, "test", args.data_dir)
+    padded, _ = pad_to_multiple(test, cfg.pad_multiple, leading_axes=2)
+    tr.init_state(padded[: min(args.batch_size, padded.shape[0])], total_steps=1)
+    tr.load_checkpoint()
+
+    interp = Interpolator(tr.model, tr.state.params, cfg.pad_multiple)
+    res = batched_pair_inference(interp, test[..., :1], args.batch_size)
+    diffs = calculate_diff(res["gt"], res["pred"])
+    psnr, ssim_v = calculate_metrics(
+        res["gt"][..., 0] * 255.0, res["pred"][..., 0] * 255.0, factor=2**31
+    )  # factor huge → every frame counts as interpolated
+    report = {"psnr": psnr, "ssim": ssim_v}
+
+    flow_gt = None
+    if spec.has_flow:
+        flow_gt = test[:, 2, ..., 1 : 1 + spec.ndim]
+        ndim = spec.ndim
+        report["epe_ft1"] = float(epe(jnp.asarray(res["flow"][..., ndim:]),
+                                      jnp.asarray(flow_gt)))
+        report["epe_ft0"] = float(epe(jnp.asarray(res["flow"][..., :ndim]),
+                                      jnp.asarray(-flow_gt)))
+
+    dir_res = tr.results_dir
+    os.makedirs(dir_res, exist_ok=True)
+    if spec.ndim == 2:
+        visualize_large(
+            res["gt"], res["pred"], diffs, res["mask"],
+            flow_gt, res["flow"][..., spec.ndim:] if spec.has_flow else None,
+            dir_res, title="test_panel",
+        )
+    loss_json = os.path.join(dir_res, "loss.json")
+    if os.path.exists(loss_json):
+        plot_loss(loss_json, dir_res)
+    with open(os.path.join(dir_res, "test_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report), flush=True)
+
+
+def cmd_inference_img(argv):
+    p = argparse.ArgumentParser(prog="inference_img")
+    _add_common(p)
+    p.add_argument("--img0", required=True)
+    p.add_argument("--img1", required=True)
+    p.add_argument("--out_dir", default="interp_out")
+    p.add_argument("--n_exp", type=int, default=1, help="insert 2**n_exp - 1 frames")
+    args = p.parse_args(argv)
+    _maybe_cpu(args)
+
+    from opticalflowscivis_tpu.cli.io_utils import load_image, save_image
+    from opticalflowscivis_tpu.inference import Interpolator, interpolate_recursive
+    from opticalflowscivis_tpu.training import Trainer
+
+    img0 = load_image(args.img0)
+    img1 = load_image(args.img1)
+    cfg = _build_cfg(args, epochs=1)
+    tr = Trainer(cfg)
+    sample = np.stack([img0, img1, img0])[None]
+    tr.init_state(sample, total_steps=1)
+    tr.load_checkpoint()
+    interp = Interpolator(tr.model, tr.state.params, cfg.pad_multiple)
+    mids = interpolate_recursive(interp, img0[None], img1[None],
+                                 2**args.n_exp - 1)
+    os.makedirs(args.out_dir, exist_ok=True)
+    save_image(img0, os.path.join(args.out_dir, "img0.png"))
+    for i, m in enumerate(mids):
+        save_image(m[0], os.path.join(args.out_dir, f"img{i+1}.png"))
+    save_image(img1, os.path.join(args.out_dir, f"img{len(mids)+1}.png"))
+    print(f"wrote {len(mids) + 2} frames to {args.out_dir}", flush=True)
+
+
+def cmd_inference_video(argv):
+    p = argparse.ArgumentParser(prog="inference_video")
+    _add_common(p)
+    p.add_argument("--factors", default="2,4,8,16,32,64,128")
+    p.add_argument("--max_frames", type=int, default=0,
+                   help="limit test frames (0 = all)")
+    p.add_argument("--write_mp4", action="store_true")
+    args = p.parse_args(argv)
+    _maybe_cpu(args)
+
+    from opticalflowscivis_tpu.cli.io_utils import write_video
+    from opticalflowscivis_tpu.data import get_spec
+    from opticalflowscivis_tpu.data.registry import load_raw_series
+    from opticalflowscivis_tpu.evalsuite import (
+        calculate_metrics,
+        linear_interpolation_baseline,
+    )
+    from opticalflowscivis_tpu.inference import Interpolator, interpolate_series
+    from opticalflowscivis_tpu.training import Trainer
+
+    cfg = _build_cfg(args, epochs=1)
+    spec = get_spec(args.dataset)
+    frames = load_raw_series(args.dataset, args.data_dir, "test")[..., :1]
+    if args.max_frames:
+        frames = frames[: args.max_frames]
+
+    tr = Trainer(cfg)
+    sample = np.stack([frames[0], frames[1], frames[0]])[None]
+    tr.init_state(sample, total_steps=1)
+    tr.load_checkpoint()
+    interp = Interpolator(tr.model, tr.state.params, cfg.pad_multiple)
+
+    results = {}
+    for factor in [int(f) for f in args.factors.split(",")]:
+        if frames.shape[0] < factor + 1:
+            break
+        recon, _ = interpolate_series(interp, frames, factor)
+        n = recon.shape[0]
+        psnr, ssim_v = calculate_metrics(
+            frames[:n, ..., 0] * 255.0, recon[..., 0] * 255.0, factor
+        )
+        base = linear_interpolation_baseline(frames[:n], factor)
+        psnr_b, ssim_b = calculate_metrics(
+            frames[:n, ..., 0] * 255.0, base[..., 0] * 255.0, factor
+        )
+        results[factor] = {
+            "psnr": round(psnr, 2), "ssim": round(ssim_v, 4),
+            "psnr_linear_baseline": round(psnr_b, 2),
+            "ssim_linear_baseline": round(ssim_b, 4),
+        }
+        print(f"factor {factor}x: {results[factor]}", flush=True)
+        if args.write_mp4:
+            out = os.path.join(
+                cfg.results_dir, args.dataset,
+                f"{args.dataset}_10fps_extract{factor}x_{factor}X_{factor*10}fps.mp4",
+            )
+            write_video(recon[..., 0], out, fps=factor * 10)
+    dir_res = os.path.join(cfg.results_dir, args.dataset)
+    os.makedirs(dir_res, exist_ok=True)
+    with open(os.path.join(dir_res, "interp_report.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results), flush=True)
+
+
+def cmd_train_upflow(argv):
+    p = argparse.ArgumentParser(prog="train_upflow")
+    _add_common(p)
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--census_weight", type=float, default=0.0)
+    p.add_argument("--msd_weight", type=float, default=0.0)
+    args = p.parse_args(argv)
+    _maybe_cpu(args)
+
+    from opticalflowscivis_tpu.data.registry import load_raw_series
+    from opticalflowscivis_tpu.losses.upflow import UPFlowLossConfig
+    from opticalflowscivis_tpu.training.upflow_trainer import (
+        UPFlowTrainConfig,
+        UPFlowTrainer,
+        frames_to_pairs,
+    )
+
+    frames = load_raw_series(args.dataset, args.data_dir, "train")[..., :1]
+    pairs = frames_to_pairs(frames, in_channels=3)
+    cfg = UPFlowTrainConfig(
+        batch_size=args.batch_size,
+        n_epoch=args.epochs,
+        exp_dir=os.path.join(args.results_dir, args.dataset, "upflow"),
+        loss=UPFlowLossConfig(census_weight=args.census_weight,
+                              msd_weight=args.msd_weight),
+    )
+    tr = UPFlowTrainer(cfg)
+    hist = tr.fit(pairs, epochs=args.epochs)
+    print(json.dumps({"final": hist[-1] if hist else None}), flush=True)
+
+
+def cmd_generate(argv):
+    p = argparse.ArgumentParser(prog="generate")
+    p.add_argument("--dataset", default="rectangle2d",
+                   choices=["rectangle2d", "rectangles2d", "rectangle3d", "lbs2d"])
+    p.add_argument("--data_dir", default="data_cache")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--frames", type=int, default=0, help="0 = reference default")
+    args = p.parse_args(argv)
+
+    import pickle
+
+    from opticalflowscivis_tpu.data import synthetic
+
+    gens = {
+        "rectangle2d": synthetic.rectangle_2d,
+        "rectangles2d": synthetic.rectangles_2d,
+        "rectangle3d": synthetic.rectangle_3d,
+    }
+    os.makedirs(args.data_dir, exist_ok=True)
+    if args.dataset == "lbs2d":
+        from opticalflowscivis_tpu.data.lbs import lattice_boltzmann_2d
+
+        arr = lattice_boltzmann_2d(seed=args.seed)
+    else:
+        kw = {"seed": args.seed}
+        if args.frames:
+            kw["n_frames"] = args.frames
+        arr = gens[args.dataset](**kw)
+    path = os.path.join(args.data_dir, f"{args.dataset}.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(arr, f, protocol=4)
+    print(f"wrote {arr.shape} -> {path}", flush=True)
+
+
+def cmd_bench(argv):
+    sys.argv = ["bench"]
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "..", "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+
+
+VERBS = {
+    "train": cmd_train,
+    "test": cmd_test,
+    "inference_img": cmd_inference_img,
+    "inference_video": cmd_inference_video,
+    "train_upflow": cmd_train_upflow,
+    "generate": cmd_generate,
+    "bench": cmd_bench,
+}
+
+
+def main():
+    if len(sys.argv) < 2 or sys.argv[1] not in VERBS:
+        print(f"usage: python -m opticalflowscivis_tpu.cli <{'|'.join(VERBS)}> [flags]")
+        raise SystemExit(2)
+    VERBS[sys.argv[1]](sys.argv[2:])
+
+
+if __name__ == "__main__":
+    main()

@@ -8,12 +8,20 @@ from opticalflowscivis_tpu.data.pipeline import (
     pad_to_multiple,
     temporal_resample,
 )
-from opticalflowscivis_tpu.data.registry import REGISTRY, DatasetSpec, get_spec, load_data
+from opticalflowscivis_tpu.data.registry import (
+    REGISTRY,
+    DatasetSpec,
+    get_spec,
+    load_data,
+    load_raw_series,
+    select_split,
+)
 from opticalflowscivis_tpu.data.synthetic import rectangle_2d, rectangle_3d, rectangles_2d
 
 __all__ = [
     "TupleDataset", "flip_augment", "group_tuples", "minmax_normalize",
     "pad_to_multiple", "temporal_resample",
-    "REGISTRY", "DatasetSpec", "get_spec", "load_data",
+    "REGISTRY", "DatasetSpec", "get_spec", "load_data", "load_raw_series",
+    "select_split",
     "rectangle_2d", "rectangle_3d", "rectangles_2d",
 ]

@@ -1,0 +1,166 @@
+"""KITTI optical-flow dataset support — IO, training crops, evaluation pairs.
+
+Parity with ``UPFlow/dataset/kitti_dataset.py`` (826 LoC) and the flow-IO
+section of ``UPFlow/utils/tools.py:1525-1675``:
+
+- ``read_flo`` / ``write_flo``: Middlebury .flo (magic 202021.25, little-endian
+  W, H, interleaved u,v float32).
+- ``read_kitti_flow_png`` / ``write_kitti_flow_png``: KITTI uint16 png encoding
+  ((value - 2^15) / 64 with a validity channel; cv2 BGR ordering handled).
+- ``KittiPairDataset`` ⇔ ``kitti_data_with_start_point`` (kitti_dataset.py:
+  341-431): multiview frame pairs, random crop with margin rho=8 returning the
+  crop offset ``start`` (used by boundary-dilated warping), horizontal-flip and
+  image-swap augmentation.
+- ``load_kitti_eval_pairs`` ⇔ the Evaluation_bench data path (:521-618): image
+  pairs + GT flow (occ and noc) + validity masks; metrics live in
+  ``evalsuite.flow_eval``.
+
+All flow arrays leave this module in the framework convention: channels-last
+``[H, W, 2]`` row-major (dy, dx) — converted from KITTI's (u=x, v=y) storage.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+_FLO_MAGIC = 202021.25
+
+
+def read_flo(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        magic = np.fromfile(f, np.float32, 1)[0]
+        if abs(magic - _FLO_MAGIC) > 1e-3:
+            raise ValueError(f"{path}: bad .flo magic {magic}")
+        w = int(np.fromfile(f, np.int32, 1)[0])
+        h = int(np.fromfile(f, np.int32, 1)[0])
+        data = np.fromfile(f, np.float32, 2 * w * h).reshape(h, w, 2)
+    return data[..., ::-1].copy()  # (u, v) → (dy, dx)
+
+
+def write_flo(flow: np.ndarray, path: str) -> None:
+    h, w = flow.shape[:2]
+    uv = flow[..., ::-1].astype(np.float32)  # (dy, dx) → (u, v)
+    with open(path, "wb") as f:
+        np.asarray([_FLO_MAGIC], np.float32).tofile(f)
+        np.asarray([w, h], np.int32).tofile(f)
+        uv.tofile(f)
+
+
+def read_kitti_flow_png(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Returns (flow [H,W,2] (dy,dx), valid [H,W,1]) from a KITTI uint16 png."""
+    import cv2
+
+    raw = cv2.imread(path, cv2.IMREAD_ANYDEPTH | cv2.IMREAD_COLOR)
+    if raw is None:
+        raise FileNotFoundError(path)
+    raw = raw.astype(np.float64)
+    # cv2 loads BGR: B=valid, G=v, R=u
+    valid = raw[..., 0:1] > 0
+    v = (raw[..., 1] - 2**15) / 64.0
+    u = (raw[..., 2] - 2**15) / 64.0
+    flow = np.stack([v, u], axis=-1).astype(np.float32)
+    return flow * valid, valid.astype(np.float32)
+
+
+def write_kitti_flow_png(flow: np.ndarray, valid: np.ndarray | None, path: str) -> None:
+    import cv2
+
+    h, w = flow.shape[:2]
+    if valid is None:
+        valid = np.ones((h, w, 1), np.float32)
+    v = np.clip(flow[..., 0] * 64.0 + 2**15, 0, 65535)
+    u = np.clip(flow[..., 1] * 64.0 + 2**15, 0, 65535)
+    img = np.stack([valid[..., 0], v, u], axis=-1).astype(np.uint16)  # BGR
+    cv2.imwrite(path, img)
+
+
+def _read_gray(path: str) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img[..., ::-1].astype(np.float32) / 255.0  # BGR→RGB
+
+
+class KittiPairDataset:
+    """Multiview frame-pair sampler with offset-returning random crops.
+
+    ⇔ ``kitti_data_with_start_point`` (kitti_dataset.py:341-431).  Yields
+    (im1, im2, start) where start is the (row, col) crop offset into the
+    uncropped image — consumed by boundary-dilated warping.
+    """
+
+    def __init__(
+        self,
+        image_dir: str,
+        crop: tuple[int, int] = (256, 832),
+        rho: int = 8,
+        seed: int = 0,
+        pattern: str = "*_1[01].png",
+    ):
+        self.files = sorted(glob.glob(os.path.join(image_dir, "*.png")))
+        # consecutive multiview frames of the same sequence form pairs
+        by_seq: dict[str, list[str]] = {}
+        for f in self.files:
+            seq = os.path.basename(f).rsplit("_", 1)[0]
+            by_seq.setdefault(seq, []).append(f)
+        self.pairs = []
+        for seq, frames in by_seq.items():
+            frames.sort()
+            self.pairs.extend(list(zip(frames[:-1], frames[1:])))
+        self.crop = crop
+        self.rho = rho
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def sample(self, batch_size: int):
+        """Random batch: (im1 [B,h,w,3], im2, start [B,2]) with flip/swap aug."""
+        ch, cw = self.crop
+        im1s, im2s, starts = [], [], []
+        for _ in range(batch_size):
+            a, b = self.pairs[int(self.rng.integers(len(self.pairs)))]
+            i1, i2 = _read_gray(a), _read_gray(b)
+            h, w = i1.shape[:2]
+            y0 = int(self.rng.integers(self.rho, max(h - ch - self.rho, self.rho) + 1))
+            x0 = int(self.rng.integers(self.rho, max(w - cw - self.rho, self.rho) + 1))
+            c1 = i1[y0 : y0 + ch, x0 : x0 + cw]
+            c2 = i2[y0 : y0 + ch, x0 : x0 + cw]
+            if self.rng.random() < 0.5:  # hflip (kitti_dataset.py:420-431)
+                c1, c2 = c1[:, ::-1], c2[:, ::-1]
+            if self.rng.random() < 0.5:  # temporal swap
+                c1, c2 = c2, c1
+            im1s.append(c1)
+            im2s.append(c2)
+            starts.append((y0, x0))
+        return (
+            np.stack(im1s).astype(np.float32),
+            np.stack(im2s).astype(np.float32),
+            np.asarray(starts, np.float32),
+        )
+
+
+def load_kitti_eval_pairs(root: str, split: str = "training", year: int = 2015):
+    """Yield (im1, im2, flow_occ, mask_occ, flow_noc, mask_noc) eval samples.
+
+    Directory layout: KITTI-2015 ``{root}/{split}/image_2/{id}_1{0,1}.png`` +
+    ``flow_occ/ flow_noc/`` (kitti_dataset.py:246-339).
+    """
+    img_dir = os.path.join(root, split, "image_2")
+    occ_dir = os.path.join(root, split, "flow_occ")
+    noc_dir = os.path.join(root, split, "flow_noc")
+    ids = sorted(
+        os.path.basename(f)[:-7]
+        for f in glob.glob(os.path.join(img_dir, "*_10.png"))
+    )
+    for sid in ids:
+        im1 = _read_gray(os.path.join(img_dir, f"{sid}_10.png"))
+        im2 = _read_gray(os.path.join(img_dir, f"{sid}_11.png"))
+        f_occ, m_occ = read_kitti_flow_png(os.path.join(occ_dir, f"{sid}_10.png"))
+        f_noc, m_noc = read_kitti_flow_png(os.path.join(noc_dir, f"{sid}_10.png"))
+        yield sid, im1, im2, f_occ, m_occ, f_noc, m_noc

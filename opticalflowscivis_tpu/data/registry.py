@@ -71,7 +71,8 @@ REGISTRY: dict[str, DatasetSpec] = {
     "lbs2d": _spec(
         name="lbs2d", ndim=2, has_flow=True,
         train=[(0, 2205)], val=[(2370, 2685)], test=[(2685, 3000)],
-        batch_size=100, generator=None, pkl_file="lbs2d_skip_.pkl",
+        batch_size=100, pkl_file="lbs2d_skip_.pkl",
+        generator=None,  # set below — lbs module imports jax, keep import local
     ),
     "droplet2d": _spec(
         name="droplet2d", ndim=2, has_flow=False,
@@ -121,6 +122,15 @@ REGISTRY: dict[str, DatasetSpec] = {
 }
 
 
+def _lbs_generator() -> np.ndarray:
+    from opticalflowscivis_tpu.data.lbs import lattice_boltzmann_2d
+
+    return lattice_boltzmann_2d()
+
+
+REGISTRY["lbs2d"] = dataclasses.replace(REGISTRY["lbs2d"], generator=_lbs_generator)
+
+
 def get_spec(dataset: str) -> DatasetSpec:
     if dataset not in REGISTRY:
         raise KeyError(f"unknown dataset {dataset!r}; known: {sorted(REGISTRY)}")
@@ -165,9 +175,39 @@ def _apply_slices(data: np.ndarray, slices: Slices) -> np.ndarray:
     return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
 
 
-def _prepare(spec: DatasetSpec, data: np.ndarray, slices: Slices, exp: int,
-             augment: bool) -> np.ndarray:
+_FRACTIONS = {"train": (0.0, 0.70), "val": (0.70, 0.85), "test": (0.85, 1.0)}
+
+
+def select_split(data: np.ndarray, spec: DatasetSpec, which: str) -> np.ndarray:
+    """Public split selector: reference indices with small-series fallback."""
+    return _split_or_fraction(data, getattr(spec, which), which)
+
+
+def load_raw_series(dataset: str, data_dir: str, which: str = "test") -> np.ndarray:
+    """Normalized raw series ``[T, *S, C]`` for one split (CLI convenience)."""
+    spec = get_spec(dataset)
+    data = minmax_normalize(_load_raw(spec, data_dir))
+    return select_split(data, spec, which)
+
+
+def _split_or_fraction(data: np.ndarray, slices: Slices, which: str) -> np.ndarray:
+    """Reference index splits; fractional 70/15/15 fallback for short series.
+
+    The reference's splits hard-code its dataset lengths (load_datasets.py:
+    193-224); series shorter than those (e.g. freshly generated small data)
+    fall back to proportional splits so every mode still works.
+    """
     sub = _apply_slices(data, slices)
+    if sub.shape[0] >= 9:  # enough for any exp grouping (9-tuples at exp=3)
+        return sub
+    lo, hi = _FRACTIONS[which]
+    n = data.shape[0]
+    return data[int(lo * n) : int(hi * n)]
+
+
+def _prepare(spec: DatasetSpec, data: np.ndarray, slices: Slices, exp: int,
+             augment: bool, which: str = "train") -> np.ndarray:
+    sub = _split_or_fraction(data, slices, which)
     if spec.resample_stride:
         sub = temporal_resample(sub, spec.resample_stride)
     if augment and spec.flip_aug:
@@ -189,10 +229,10 @@ def load_data(
             val_raw = minmax_normalize(
                 _load_raw(spec, data_dir, which_pkl=spec.val_pkl_file)
             )
-            train = _prepare(spec, data, spec.train, exp, augment=True)
-            val = _prepare(spec, val_raw, spec.val, exp, augment=False)
+            train = _prepare(spec, data, spec.train, exp, augment=True, which="train")
+            val = _prepare(spec, val_raw, spec.val, exp, augment=False, which="val")
         else:
-            train = _prepare(spec, data, spec.train, exp, augment=True)
-            val = _prepare(spec, data, spec.val, exp, augment=False)
+            train = _prepare(spec, data, spec.train, exp, augment=True, which="train")
+            val = _prepare(spec, data, spec.val, exp, augment=False, which="val")
         return train, val
-    return _prepare(spec, data, spec.test, exp, augment=False)
+    return _prepare(spec, data, spec.test, exp, augment=False, which="test")

@@ -1,0 +1,144 @@
+"""Inference engine — pair/series interpolation with recursive bisection.
+
+Parity map:
+- ``Interpolator.pair``   ⇔ RIFE ``Model.inference`` (Flow-2D/model/RIFE.py:
+  66-78): student-only forward, returns merged frame + flow + mask; /32 padding
+  handled here once (inference_img.py:56-61) instead of per-block cropping.
+- ``interpolate_recursive`` ⇔ ``make_inference`` (Flow-2D/inference_video.py:
+  172-202): to insert 2^exp - 1 frames, predict the midpoint and recurse.
+- ``interpolate_series``  ⇔ the inference_video pipeline (:74-392): decimate a
+  series by ``factor`` and reconstruct the missing frames pairwise — without the
+  reference's mp4 round-trip (arrays in, arrays out; video IO lives in the CLI).
+- duplicate-frame / scene-cut SSIM gates (:244-275) are reproduced as options.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opticalflowscivis_tpu.models.ifnet import IFNet
+from opticalflowscivis_tpu.ops import ssim
+
+
+class Interpolator:
+    """Jitted student-only IFNet forward with automatic /32 padding."""
+
+    def __init__(self, model: IFNet, params, pad_multiple: int = 32):
+        self.model = model
+        self.params = params
+        self.pad_multiple = pad_multiple
+
+        @jax.jit
+        def _forward(params, img0, img1, timestep):
+            out = model.apply(params, img0, img1, None, timestep=timestep)
+            return out["merged"][-1], out["flow_list"][-1], out["mask_list"][-1]
+
+        self._forward = _forward
+
+    def _pad(self, x: np.ndarray):
+        m = self.pad_multiple
+        pads = [(0, 0)]
+        for s in x.shape[1:-1]:
+            pads.append((0, (-s) % m))
+        pads.append((0, 0))
+        return np.pad(x, pads, mode="edge"), x.shape
+
+    def pair(self, img0: np.ndarray, img1: np.ndarray, timestep: float = 0.5):
+        """Predict the frame at ``timestep`` between two ``[B, *S, C]`` frames."""
+        p0, orig_shape = self._pad(np.asarray(img0, np.float32))
+        p1, _ = self._pad(np.asarray(img1, np.float32))
+        merged, flow, mask = self._forward(
+            self.params, jnp.asarray(p0), jnp.asarray(p1), timestep
+        )
+        crop = tuple(slice(0, s) for s in orig_shape)
+        return (
+            np.asarray(merged, np.float32)[crop],
+            np.asarray(flow, np.float32)[tuple(list(crop[:-1]) + [slice(None)])],
+            np.asarray(mask, np.float32)[crop],
+        )
+
+
+def interpolate_recursive(
+    interp: Interpolator, img0: np.ndarray, img1: np.ndarray, n: int
+) -> list[np.ndarray]:
+    """Insert ``n`` (= 2^k - 1) frames between img0/img1 by midpoint bisection."""
+    if n <= 0:
+        return []
+    middle, _, _ = interp.pair(img0, img1)
+    if n == 1:
+        return [middle]
+    left = interpolate_recursive(interp, img0, middle, n // 2)
+    right = interpolate_recursive(interp, middle, img1, n // 2)
+    # exact midpoint kept only for odd n — make_inference semantics
+    # (inference_video.py:172-202)
+    return left + [middle] + right if n % 2 else left + right
+
+
+def interpolate_series(
+    interp: Interpolator,
+    frames: np.ndarray,
+    factor: int,
+    dup_ssim_gate: float | None = None,
+    cut_ssim_gate: float | None = None,
+    collect_flow: bool = False,
+):
+    """Decimate ``[T, *S, C]`` by ``factor`` and reconstruct by interpolation.
+
+    Returns (reconstruction of length ``(T//factor-1)*factor + 1``, flows or None).
+    ``dup_ssim_gate`` copies img0 when the pair is near-identical (>gate);
+    ``cut_ssim_gate`` copies img0 on scene cuts (<gate) — inference_video.py:244-275.
+    """
+    kept = frames[::factor]
+    out: list[np.ndarray] = []
+    flows: list[np.ndarray] = []
+    for a, b in zip(kept[:-1], kept[1:]):
+        out.append(a)
+        pair_ssim = None
+        if dup_ssim_gate is not None or cut_ssim_gate is not None:
+            pair_ssim = float(ssim(jnp.asarray(a[None]), jnp.asarray(b[None])))
+        if (
+            (dup_ssim_gate is not None and pair_ssim > dup_ssim_gate)
+            or (cut_ssim_gate is not None and pair_ssim < cut_ssim_gate)
+        ):
+            mids = [a.copy() for _ in range(factor - 1)]
+        else:
+            mids = interpolate_recursive(interp, a[None], b[None], factor - 1)
+            mids = [m[0] for m in mids]
+            if collect_flow:
+                _, flow, _ = interp.pair(a[None], b[None])
+                flows.append(flow[0])
+        out.extend(mids)
+    out.append(kept[-1])
+    recon = np.stack(out)
+    return recon, (np.stack(flows) if flows else None)
+
+
+def batched_pair_inference(
+    interp: Interpolator, tuples: np.ndarray, batch_size: int = 16
+):
+    """Run ``pair`` over grouped test tuples ``[N, slots, *S, C]`` (density ch).
+
+    Returns dict of stacked (pred, flow, mask, gt) — the test-mode collection
+    loop of Flow-2D/train.py:253-374.
+    """
+    preds, flows, masks, gts = [], [], [], []
+    for i in range(0, tuples.shape[0], batch_size):
+        chunk = tuples[i : i + batch_size]
+        img0 = chunk[:, 0, ..., :1]
+        img1 = chunk[:, 1, ..., :1]
+        gt = chunk[:, 2, ..., :1]
+        pred, flow, mask = interp.pair(img0, img1)
+        preds.append(pred)
+        flows.append(flow)
+        masks.append(mask)
+        gts.append(gt)
+    return {
+        "pred": np.concatenate(preds),
+        "flow": np.concatenate(flows),
+        "mask": np.concatenate(masks),
+        "gt": np.concatenate(gts),
+    }

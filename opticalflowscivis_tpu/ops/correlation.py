@@ -28,17 +28,37 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("max_disp",))
-def cost_volume(f1: jax.Array, f2: jax.Array, max_disp: int = 4) -> jax.Array:
+def cost_volume(
+    f1: jax.Array, f2: jax.Array, max_disp: int = 4, backend: str = "auto"
+) -> jax.Array:
     """Correlation volume of two feature maps.
 
     Args:
       f1, f2: ``[B, *spatial, C]`` feature maps (channels-last).
       max_disp: search radius; output has ``(2*max_disp+1)**ndim`` channels.
+      backend: 'auto' picks the fused Pallas kernel on TPU for supported 2-D
+        shapes (ops/pallas/correlation.py) and the jnp path otherwise;
+        'jnp' / 'pallas' force a path.
 
     Returns:
       ``[B, *spatial, (2*max_disp+1)**ndim]`` mean-dot-product similarities.
     """
+    if backend != "jnp":
+        from opticalflowscivis_tpu.ops.pallas.correlation import (
+            cost_volume_pallas,
+            pallas_cost_volume_supported,
+        )
+
+        on_tpu = jax.default_backend() == "tpu"
+        ok = pallas_cost_volume_supported(f1.shape, max_disp)
+        if backend == "pallas" or (backend == "auto" and on_tpu and ok):
+            return cost_volume_pallas(f1, f2, max_disp)
+    return _cost_volume_jnp(f1, f2, max_disp)
+
+
+@partial(jax.jit, static_argnames=("max_disp",))
+def _cost_volume_jnp(f1: jax.Array, f2: jax.Array, max_disp: int = 4) -> jax.Array:
+    """Readable jnp reference path (⇔ Corr_pyTorch); rank-generic."""
     if f1.shape != f2.shape:
         raise ValueError(f"shape mismatch: {f1.shape} vs {f2.shape}")
     spatial = f1.shape[1:-1]

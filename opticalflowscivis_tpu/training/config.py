@@ -64,6 +64,8 @@ class TrainConfig:
     early_stop_patience: int = 0  # 0 = off; Flow-3D uses 1000
     pad_multiple: int = 32
     n_data: int | None = None  # data-parallel degree (None → all devices)
+    n_space: int = 1  # spatial-shard degree (volume depth over the 'space' axis)
+    spatial_shard: bool = False  # shard 3-D volumes spatially (GSPMD halos)
     debug_nans: bool = False
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)

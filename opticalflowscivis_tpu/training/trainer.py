@@ -118,13 +118,19 @@ class Trainer:
             raise ValueError(
                 f"model ndim {cfg.model.ndim} != dataset ndim {self.spec.ndim}"
             )
-        self.mesh = mesh if mesh is not None else make_mesh(cfg.n_data)
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.n_data, cfg.n_space)
         self.model = build_model(cfg)
         self.has_flow = self.spec.has_flow and cfg.loss.flow > 0
         self._train_step_fn, self._eval_step_fn = make_train_step(
             self.model, cfg, self.has_flow
         )
-        self.batch_sharding = NamedSharding(self.mesh, P("data"))
+        if cfg.spatial_shard:
+            # volumes: depth axis over 'space' (GSPMD inserts conv halos)
+            from opticalflowscivis_tpu.parallel.spatial import volume_batch_sharding
+
+            self.batch_sharding = volume_batch_sharding(self.mesh, n_leading=2)
+        else:
+            self.batch_sharding = NamedSharding(self.mesh, P("data"))
         self.repl = NamedSharding(self.mesh, P())
         self.state: TrainState | None = None
         self.steps_per_epoch = 1  # set by fit()
@@ -224,12 +230,17 @@ class Trainer:
         return history
 
     def evaluate(self, val_tuples: np.ndarray, batch_size: int | None = None):
-        batch = batch_size or min(16, val_tuples.shape[0])
+        n_val = val_tuples.shape[0]
+        batch = min(batch_size or 16, n_val)
         n_data = self.mesh.shape["data"]
         batch = max(n_data, (batch // n_data) * n_data)
+        if n_val < batch:  # tiny val set: repeat to fill one sharded batch
+            reps = -(-batch // n_val)
+            val_tuples = np.tile(val_tuples, (reps,) + (1,) * (val_tuples.ndim - 1))
+            n_val = val_tuples.shape[0]
         sums: dict[str, float] = {}
         n = 0
-        for i in range(0, val_tuples.shape[0] - batch + 1, batch):
+        for i in range(0, n_val - batch + 1, batch):
             b = jax.device_put(
                 jnp.asarray(val_tuples[i : i + batch]), self.batch_sharding
             )
