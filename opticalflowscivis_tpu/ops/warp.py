@@ -13,6 +13,9 @@ TPU-native re-design of the reference warp layers:
   padding_mode='zeros' plus a warped-ones validity mask; our ``padding='zeros'``
   zeroes out-of-range corner contributions which matches grid_sample zeros
   semantics, and the validity mask is available via ``return_mask=True``.
+- ``UPFlow/utils/tools.py:393-541`` (boundary_dilated_warp): photometric warping
+  of the *uncropped* image using the crop offset ``start`` so that flow targets
+  outside the crop still sample real pixels — ``boundary_dilated_warp`` here.
 
 Flow convention: ``flow[..., i]`` displaces along spatial axis ``i`` (row-major),
 i.e. (dy, dx) for 2-D and (dz, dy, dx) for 3-D — unlike the reference's
@@ -32,6 +35,78 @@ def _spatial_shape(img: jax.Array) -> tuple[int, ...]:
     return tuple(img.shape[1:-1])
 
 
+def multilinear_sample(
+    img: jax.Array,
+    coords: jax.Array,
+    padding: str = "border",
+    return_mask: bool = False,
+):
+    """Sample ``img [B, *S_src, C]`` at absolute pixel ``coords [B, *S_out, ndim]``.
+
+    2^ndim corner gathers with multilinear weights; 'border' clamps, 'zeros'
+    drops out-of-range corner contributions.  The optional mask is the fraction
+    of interpolation weight that fell inside the image.
+    """
+    if padding not in ("border", "zeros"):
+        raise ValueError(f"padding must be 'border' or 'zeros', got {padding!r}")
+    src_spatial = _spatial_shape(img)
+    ndim = len(src_spatial)
+    if coords.shape[-1] != ndim:
+        raise ValueError(f"coords have {coords.shape[-1]} dims for {ndim}-D input")
+    out_spatial = tuple(coords.shape[1:-1])
+
+    compute_dtype = jnp.promote_types(img.dtype, jnp.float32)
+    coords = coords.astype(compute_dtype)
+
+    lo = jnp.floor(coords)
+    frac = coords - lo
+    lo_i = lo.astype(jnp.int32)
+
+    strides = []
+    acc = 1
+    for size in reversed(src_spatial):
+        strides.append(acc)
+        acc *= size
+    strides = strides[::-1]
+    n_vox = acc
+
+    b = img.shape[0]
+    c = img.shape[-1]
+    img_flat = img.reshape(b, n_vox, c).astype(compute_dtype)
+    n_out = 1
+    for s in out_spatial:
+        n_out *= s
+
+    out = jnp.zeros((b,) + out_spatial + (c,), compute_dtype)
+    mask_out = jnp.zeros((b,) + out_spatial, compute_dtype)
+
+    # 2^ndim corner gathers.  XLA fuses the weight math; the gather itself is
+    # the memory-bound part (Pallas sampler is the planned fast path for 3-D).
+    for corner in itertools.product((0, 1), repeat=ndim):
+        weight = jnp.ones((b,) + out_spatial, compute_dtype)
+        flat_idx = jnp.zeros((b,) + out_spatial, jnp.int32)
+        valid = jnp.ones((b,) + out_spatial, bool)
+        for i, hi_side in enumerate(corner):
+            idx = lo_i[..., i] + hi_side
+            w = frac[..., i] if hi_side else (1.0 - frac[..., i])
+            valid &= (idx >= 0) & (idx <= src_spatial[i] - 1)
+            idx = jnp.clip(idx, 0, src_spatial[i] - 1)
+            weight = weight * w
+            flat_idx = flat_idx + idx * strides[i]
+        if padding == "zeros":
+            weight = jnp.where(valid, weight, 0.0)
+        gathered = jnp.take_along_axis(
+            img_flat, flat_idx.reshape(b, n_out, 1), axis=1
+        ).reshape((b,) + out_spatial + (c,))
+        out = out + gathered * weight[..., None]
+        mask_out = mask_out + jnp.where(valid, weight, 0.0)
+
+    out = out.astype(img.dtype)
+    if return_mask:
+        return out, mask_out[..., None].astype(img.dtype)
+    return out
+
+
 @partial(jax.jit, static_argnames=("padding", "return_mask"))
 def backward_warp(
     img: jax.Array,
@@ -48,68 +123,46 @@ def backward_warp(
       padding: ``'border'`` (clamp, like grid_sample border + align_corners=True)
         or ``'zeros'`` (out-of-range corners contribute 0).
       return_mask: if True also return ``[B, *spatial, 1]`` in-bounds validity
-        mask (fraction of interpolation weight that fell inside the image).
+        mask.
 
     Returns:
       Warped image ``[B, *spatial, C]`` (and optionally the validity mask).
     """
-    if padding not in ("border", "zeros"):
-        raise ValueError(f"padding must be 'border' or 'zeros', got {padding!r}")
     spatial = _spatial_shape(img)
     ndim = len(spatial)
     if flow.shape[-1] != ndim:
         raise ValueError(f"flow has {flow.shape[-1]} channels for {ndim}-D input")
-
     compute_dtype = jnp.promote_types(img.dtype, jnp.float32)
-    flow = flow.astype(compute_dtype)
+    base = jnp.stack(
+        [jax.lax.broadcasted_iota(compute_dtype, spatial, i) for i in range(ndim)],
+        axis=-1,
+    )
+    coords = base[None] + flow.astype(compute_dtype)
+    return multilinear_sample(img, coords, padding, return_mask)
 
-    # Absolute sample coordinates per axis: base grid + displacement.
-    coords = []
-    for i, size in enumerate(spatial):
-        base = jax.lax.broadcasted_iota(compute_dtype, spatial, i)
-        coords.append(base[None] + flow[..., i])
 
-    lo = [jnp.floor(c) for c in coords]
-    frac = [c - f for c, f in zip(coords, lo)]
-    lo_i = [f.astype(jnp.int32) for f in lo]
+@jax.jit
+def boundary_dilated_warp(
+    img_raw: jax.Array, flow: jax.Array, start: jax.Array
+) -> jax.Array:
+    """Warp the *uncropped* image for a crop-sized flow field.
 
-    strides = []
-    acc = 1
-    for size in reversed(spatial):
-        strides.append(acc)
-        acc *= size
-    strides = strides[::-1]
-    n_vox = acc
+    ⇔ ``tools.boundary_dilated_warp.warp_im`` (UPFlow/utils/tools.py:393-541):
+    the training crop sits at offset ``start [B, ndim]`` inside ``img_raw``;
+    sampling at (crop grid + start + flow) lets flow vectors that point outside
+    the crop (but inside the raw image) hit real pixels instead of padding.
 
-    b = img.shape[0]
-    c = img.shape[-1]
-    img_flat = img.reshape(b, n_vox, c).astype(compute_dtype)
-
-    out = jnp.zeros((b,) + spatial + (c,), compute_dtype)
-    mask_out = jnp.zeros((b,) + spatial, compute_dtype)
-
-    # 2^ndim corner gathers.  XLA fuses the weight math; the gather itself is the
-    # memory-bound part (Pallas sampler is the planned fast path for 3-D).
-    for corner in itertools.product((0, 1), repeat=ndim):
-        weight = jnp.ones((b,) + spatial, compute_dtype)
-        flat_idx = jnp.zeros((b,) + spatial, jnp.int32)
-        valid = jnp.ones((b,) + spatial, bool)
-        for i, hi_side in enumerate(corner):
-            idx = lo_i[i] + hi_side
-            w = frac[i] if hi_side else (1.0 - frac[i])
-            valid &= (idx >= 0) & (idx <= spatial[i] - 1)
-            idx = jnp.clip(idx, 0, spatial[i] - 1)
-            weight = weight * w
-            flat_idx = flat_idx + idx * strides[i]
-        if padding == "zeros":
-            weight = jnp.where(valid, weight, 0.0)
-        gathered = jnp.take_along_axis(
-            img_flat, flat_idx.reshape(b, n_vox, 1), axis=1
-        ).reshape((b,) + spatial + (c,))
-        out = out + gathered * weight[..., None]
-        mask_out = mask_out + jnp.where(valid, weight, 0.0)
-
-    out = out.astype(img.dtype)
-    if return_mask:
-        return out, mask_out[..., None].astype(img.dtype)
-    return out
+    Returns a crop-shaped warped image ``[B, *S_crop, C]``.
+    """
+    ndim = flow.shape[-1]
+    crop_spatial = tuple(flow.shape[1:-1])
+    compute_dtype = jnp.promote_types(img_raw.dtype, jnp.float32)
+    base = jnp.stack(
+        [jax.lax.broadcasted_iota(compute_dtype, crop_spatial, i) for i in range(ndim)],
+        axis=-1,
+    )
+    offset = start.astype(compute_dtype).reshape(
+        (start.shape[0],) + (1,) * ndim + (ndim,)
+    )
+    coords = base[None] + offset + flow.astype(compute_dtype)
+    return multilinear_sample(img_raw, coords, padding="border")

@@ -113,6 +113,9 @@ class Trainer:
 
     def __init__(self, cfg: TrainConfig, mesh=None):
         self.cfg = cfg
+        if cfg.debug_nans:
+            # the jax-native detect_anomaly (⇔ Flow-3D/train.py:34-36 comments)
+            jax.config.update("jax_debug_nans", True)
         self.spec = get_spec(cfg.dataset)
         if cfg.model.ndim != self.spec.ndim:
             raise ValueError(
