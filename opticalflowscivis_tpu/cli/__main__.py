@@ -142,6 +142,12 @@ def cmd_test(argv):
             flow_gt, res["flow"][..., spec.ndim:] if spec.has_flow else None,
             dir_res, title="test_panel",
         )
+    else:  # 3-D: mid-depth slice panel + volume render (Flow-3D/train.py:287-316)
+        from opticalflowscivis_tpu.viz import visualize_3d, visualize_large_3d
+
+        visualize_large_3d(res["gt"][..., 0], res["pred"][..., 0],
+                           diffs[..., 0], dir_res, title="test_panel3d")
+        visualize_3d(res["pred"][0, ..., 0], dir_res, title="pred_volume")
     loss_json = os.path.join(dir_res, "loss.json")
     if os.path.exists(loss_json):
         plot_loss(loss_json, dir_res)

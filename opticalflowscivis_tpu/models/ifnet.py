@@ -39,6 +39,7 @@ import jax.numpy as jnp
 
 from opticalflowscivis_tpu.models.layers import ConvPReLU, DeconvPReLU, PReLU, ResConvBlock
 from opticalflowscivis_tpu.ops import backward_warp, resize_flow, resize_spatial
+from opticalflowscivis_tpu.ops.warp import backward_warp3d_slab
 
 
 class IFBlock(nn.Module):
@@ -96,6 +97,9 @@ class IFNet(nn.Module):
     teacher_channels: int = 64
     arbitrary_timestep: bool = False  # IFNet_m variant: timestep as input channel
     conv0_kernel: int = 3
+    bounded_warp_rz: int = 0  # >0: 3-D slab warp, exact for |flow_z| <= r_z
+    # (HBM-random gathers cost ~1.2 s per 256^3 warp; the slab decomposition is
+    # ~100x faster and SciVis per-step velocities are <= 8, create_data_3d.py:56)
     dtype: Any = None
 
     @nn.compact
@@ -122,6 +126,12 @@ class IFNet(nn.Module):
             for i, c in enumerate(self.block_channels)
         ]
 
+        if nd == 3 and self.bounded_warp_rz > 0:
+            def warp(im, fl):
+                return backward_warp3d_slab(im, fl, r_z=self.bounded_warp_rz)
+        else:
+            warp = backward_warp
+
         flow = None
         mask = None
         warped0, warped1 = img0, img1
@@ -139,8 +149,8 @@ class IFNet(nn.Module):
             mask = mask_d if mask is None else mask + mask_d
             flow_list.append(flow)
             mask_list.append(jax.nn.sigmoid(mask))
-            warped0 = backward_warp(img0, flow[..., :nd])  # F_t→0 samples img0
-            warped1 = backward_warp(img1, flow[..., nd:])  # F_t→1 samples img1
+            warped0 = warp(img0, flow[..., :nd])  # F_t→0 samples img0
+            warped1 = warp(img1, flow[..., nd:])  # F_t→1 samples img1
             merged.append((warped0, warped1))
 
         flow_teacher = None
@@ -156,8 +166,8 @@ class IFNet(nn.Module):
                 dtype=self.dtype, name="block_tea",
             )(jnp.concatenate(tea_inp, axis=-1), flow, scale=1)
             flow_teacher = flow + flow_d
-            w0_tea = backward_warp(img0, flow_teacher[..., :nd])
-            w1_tea = backward_warp(img1, flow_teacher[..., nd:])
+            w0_tea = warp(img0, flow_teacher[..., :nd])
+            w1_tea = warp(img1, flow_teacher[..., nd:])
             mask_teacher = jax.nn.sigmoid(mask + mask_d)
             merged_teacher = w0_tea * mask_teacher + w1_tea * (1 - mask_teacher)
 
@@ -200,7 +210,13 @@ def ifnet_2d(in_channels: int = 1, dtype: Any = None, **kw) -> IFNet:
 
 
 def ifnet_3d(in_channels: int = 1, dtype: Any = None, **kw) -> IFNet:
-    """Reference Flow-3D configuration (Flow-3D/model/IFNet.py:125-128)."""
+    """Reference Flow-3D configuration (Flow-3D/model/IFNet.py:125-128).
+
+    Defaults to the bounded slab warp (r_z=10) — the gather warp costs ~1.2 s
+    per 256^3 volume on TPU; pass ``bounded_warp_rz=0`` for the exact
+    unbounded-gather path.
+    """
+    kw.setdefault("bounded_warp_rz", 10)
     return IFNet(ndim=3, in_channels=in_channels,
                  block_channels=(128, 64, 64), teacher_channels=64,
                  conv0_kernel=4, dtype=dtype, **kw)

@@ -38,6 +38,7 @@ class ModelConfig:
     arbitrary_timestep: bool = False
     refine: bool = False
     bfloat16: bool = True  # compute dtype on TPU (params stay f32)
+    bounded_warp_rz: int = 0  # 3-D slab-warp radius (0 = exact gather warp)
 
     @staticmethod
     def preset_2d(**kw) -> "ModelConfig":
@@ -45,6 +46,7 @@ class ModelConfig:
 
     @staticmethod
     def preset_3d(**kw) -> "ModelConfig":
+        kw.setdefault("bounded_warp_rz", 10)  # covers |velocity| <= 8 + margin
         return ModelConfig(ndim=3, block_channels=(128, 64, 64), conv0_kernel=4, **kw)
 
 

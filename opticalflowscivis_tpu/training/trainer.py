@@ -56,6 +56,7 @@ def build_model(cfg: TrainConfig) -> IFNet:
         teacher_channels=m.teacher_channels,
         arbitrary_timestep=m.arbitrary_timestep,
         conv0_kernel=m.conv0_kernel,
+        bounded_warp_rz=m.bounded_warp_rz,
         dtype=jnp.bfloat16 if m.bfloat16 else None,
     )
 
