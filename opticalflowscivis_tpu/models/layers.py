@@ -49,12 +49,16 @@ class ConvPReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # explicit symmetric torch-style padding: XLA 'SAME' at stride 2 pads
+        # (0, 1) while torch Conv2d(k=3, s=2, p=1) pads (1, 1) — the window
+        # alignment must match for torch-checkpoint import parity
+        p = (self.dilation * (self.kernel_size - 1)) // 2
         x = nn.Conv(
             self.features,
             kernel_size=(self.kernel_size,) * self.ndim,
             strides=(self.stride,) * self.ndim,
             kernel_dilation=(self.dilation,) * self.ndim,
-            padding="SAME",
+            padding=[(p, p)] * self.ndim,
             dtype=self.dtype,
         )(x)
         return PReLU()(x)

@@ -55,12 +55,15 @@ class ConvLeaky(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # torch padding ((k-1)*d)//2 (pwc_modules.py:15): symmetric, unlike XLA
+        # 'SAME' which pads (0, 1) at stride 2
+        p = (self.dilation * (self.kernel_size - 1)) // 2
         x = nn.Conv(
             self.features,
             kernel_size=(self.kernel_size,) * 2,
             strides=(self.stride,) * 2,
             kernel_dilation=(self.dilation,) * 2,
-            padding="SAME",
+            padding=[(p, p)] * 2,
             dtype=self.dtype,
         )(x)
         return _leaky(x) if self.relu else x
