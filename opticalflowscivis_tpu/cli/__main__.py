@@ -163,11 +163,17 @@ def cmd_inference_img(argv):
     p.add_argument("--img1", required=True)
     p.add_argument("--out_dir", default="interp_out")
     p.add_argument("--n_exp", type=int, default=1, help="insert 2**n_exp - 1 frames")
+    p.add_argument("--ratio", type=float, default=0.0,
+                   help="single frame at this time ratio (0 = use n_exp)")
     args = p.parse_args(argv)
     _maybe_cpu(args)
 
     from opticalflowscivis_tpu.cli.io_utils import load_image, save_image
-    from opticalflowscivis_tpu.inference import Interpolator, interpolate_recursive
+    from opticalflowscivis_tpu.inference import (
+        Interpolator,
+        interpolate_ratio,
+        interpolate_recursive,
+    )
     from opticalflowscivis_tpu.training import Trainer
 
     img0 = load_image(args.img0)
@@ -178,8 +184,11 @@ def cmd_inference_img(argv):
     tr.init_state(sample, total_steps=1)
     tr.load_checkpoint()
     interp = Interpolator(tr.model, tr.state.params, cfg.pad_multiple)
-    mids = interpolate_recursive(interp, img0[None], img1[None],
-                                 2**args.n_exp - 1)
+    if args.ratio > 0:
+        mids = [interpolate_ratio(interp, img0[None], img1[None], args.ratio)]
+    else:
+        mids = interpolate_recursive(interp, img0[None], img1[None],
+                                     2**args.n_exp - 1)
     os.makedirs(args.out_dir, exist_ok=True)
     save_image(img0, os.path.join(args.out_dir, "img0.png"))
     for i, m in enumerate(mids):
@@ -284,6 +293,75 @@ def cmd_train_upflow(argv):
     print(json.dumps({"final": hist[-1] if hist else None}), flush=True)
 
 
+def cmd_test_upflow(argv):
+    """⇔ UPFlow/test.py: kitti_2015_test (EPE/F1) and scivis_test (quiver viz)."""
+    p = argparse.ArgumentParser(prog="test_upflow")
+    _add_common(p)
+    p.add_argument("--kitti_root", default=None,
+                   help="KITTI-2015 root (runs the Evaluation_bench protocol)")
+    p.add_argument("--max_frames", type=int, default=16)
+    args = p.parse_args(argv)
+    _maybe_cpu(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from opticalflowscivis_tpu.training.upflow_trainer import (
+        UPFlowTrainConfig,
+        UPFlowTrainer,
+        frames_to_pairs,
+    )
+
+    cfg = UPFlowTrainConfig(
+        exp_dir=os.path.join(args.results_dir, args.dataset, "upflow")
+    )
+    tr = UPFlowTrainer(cfg)
+    report = {}
+
+    if args.kitti_root:
+        from opticalflowscivis_tpu.data.kitti import load_kitti_eval_pairs
+        from opticalflowscivis_tpu.evalsuite import evaluate_flow
+        from opticalflowscivis_tpu.data import pad_to_multiple
+
+        results = []
+        for sid, im1, im2, f_occ, m_occ, f_noc, m_noc in load_kitti_eval_pairs(
+            args.kitti_root
+        ):
+            pair = np.stack([im1, im2])[None]
+            if tr.state is None:
+                tr.init_state(pad_to_multiple(pair, 64, leading_axes=2)[0][:1])
+                tr.load_checkpoint()
+            _, extras = tr.predict(pair)
+            flow = np.asarray(extras["flow_f"][0])[: im1.shape[0], : im1.shape[1]]
+            results.append(evaluate_flow(flow[None], f_occ[None], m_occ[None],
+                                         f_noc[None], m_noc[None]))
+        report["kitti2015"] = {
+            k: float(np.mean([r[k] for r in results])) for k in results[0]
+        }
+    else:
+        from opticalflowscivis_tpu.data.registry import load_raw_series
+        from opticalflowscivis_tpu.viz import visualize_series_flow
+
+        frames = load_raw_series(args.dataset, args.data_dir, "test")[..., :1]
+        frames = frames[: args.max_frames]
+        pairs = frames_to_pairs(frames, in_channels=3)
+        if tr.state is None:
+            from opticalflowscivis_tpu.data import pad_to_multiple
+
+            tr.init_state(pad_to_multiple(pairs, 64, leading_axes=2)[0][:1])
+            tr.load_checkpoint()
+        _, extras = tr.predict(pairs)
+        flow = np.asarray(extras["flow_f"])[:, : frames.shape[1], : frames.shape[2]]
+        dir_res = os.path.join(args.results_dir, args.dataset, "upflow")
+        visualize_series_flow(frames[:-1, ..., 0], flow, dir_res,
+                              title="upflow_quiver")
+        report["scivis"] = {
+            "mean_flow_mag": float(np.mean(np.linalg.norm(flow, axis=-1))),
+            "frames": int(frames.shape[0]),
+        }
+    print(json.dumps(report), flush=True)
+
+
 def cmd_generate(argv):
     p = argparse.ArgumentParser(prog="generate")
     p.add_argument("--dataset", default="rectangle2d",
@@ -336,6 +414,7 @@ VERBS = {
     "inference_img": cmd_inference_img,
     "inference_video": cmd_inference_video,
     "train_upflow": cmd_train_upflow,
+    "test_upflow": cmd_test_upflow,
     "generate": cmd_generate,
     "bench": cmd_bench,
 }

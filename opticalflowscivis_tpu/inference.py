@@ -78,6 +78,38 @@ def interpolate_recursive(
     return left + [middle] + right if n % 2 else left + right
 
 
+def interpolate_ratio(
+    interp: Interpolator,
+    img0: np.ndarray,
+    img1: np.ndarray,
+    ratio: float,
+    rthreshold: float = 0.02,
+    rmaxcycles: int = 8,
+) -> np.ndarray:
+    """Frame at an arbitrary time ``ratio`` via midpoint bisection.
+
+    ⇔ inference_img.py:64-87: repeatedly predict midpoints and recurse toward
+    the target ratio until within ``rthreshold`` or ``rmaxcycles`` reached.
+    """
+    if ratio <= rthreshold:
+        return np.asarray(img0)
+    if ratio >= 1 - rthreshold:
+        return np.asarray(img1)
+    lo, hi = 0.0, 1.0
+    a, b = np.asarray(img0), np.asarray(img1)
+    middle = None
+    for _ in range(rmaxcycles):
+        mid_t = (lo + hi) / 2
+        middle, _, _ = interp.pair(a, b)
+        if abs(mid_t - ratio) <= rthreshold:
+            return middle
+        if ratio > mid_t:
+            a, lo = middle, mid_t
+        else:
+            b, hi = middle, mid_t
+    return middle
+
+
 def interpolate_series(
     interp: Interpolator,
     frames: np.ndarray,
