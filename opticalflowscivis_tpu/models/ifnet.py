@@ -100,6 +100,7 @@ class IFNet(nn.Module):
     bounded_warp_rz: int = 0  # >0: 3-D slab warp, exact for |flow_z| <= r_z
     # (HBM-random gathers cost ~1.2 s per 256^3 warp; the slab decomposition is
     # ~100x faster and SciVis per-step velocities are <= 8, create_data_3d.py:56)
+    remat: bool = False  # rematerialize IFBlocks (trade FLOPs for HBM at 256^3)
     dtype: Any = None
 
     @nn.compact
@@ -120,9 +121,11 @@ class IFNet(nn.Module):
             t = jnp.asarray(timestep, compute)
             return jnp.broadcast_to(t, ref.shape[:-1] + (1,))
 
+        # static_argnums=(3,): flax remat's core_fn args are (module, x, flow, scale)
+        block_cls = nn.remat(IFBlock, static_argnums=(3,)) if self.remat else IFBlock
         blocks = [
-            IFBlock(nd, c, conv0_kernel=self.conv0_kernel, dtype=self.dtype,
-                    name=f"block{i}")
+            block_cls(nd, c, conv0_kernel=self.conv0_kernel, dtype=self.dtype,
+                      name=f"block{i}")
             for i, c in enumerate(self.block_channels)
         ]
 
@@ -143,8 +146,10 @@ class IFNet(nn.Module):
                 inp = [img0, img1, warped0, warped1, mask]
             if self.arbitrary_timestep:
                 inp.append(ts_channel(img0))
+            # scale passed positionally: nn.remat static_argnums only covers
+            # positional args
             flow_d, mask_d = blocks[i](jnp.concatenate(inp, axis=-1), flow,
-                                       scale=self.scales[i])
+                                       self.scales[i])
             flow = flow_d if flow is None else flow + flow_d
             mask = mask_d if mask is None else mask + mask_d
             flow_list.append(flow)

@@ -168,18 +168,28 @@ def backward_warp3d_slab(
     mz = r_z + 1
     img_zpad = jnp.pad(img, [(0, 0), (mz, mz), (0, 0), (0, 0), (0, 0)], mode="edge")
 
-    out = jnp.zeros((b, z, y, x, c), jnp.float32)
-    vz_sum = jnp.zeros((b, z, y, x), jnp.float32) if padding == "zeros" else None
-    for s in range(-mz, mz + 1):
-        wz = jnp.maximum(0.0, 1.0 - jnp.abs(fz - s))
-        shifted = jax.lax.slice_in_dim(img_zpad, s + mz, s + mz + z, axis=1)
+    # lax.scan over the (2*r_z+3) z taps: one traced 2-D warp instance instead
+    # of an unrolled tap loop (the unrolled version at 256^3 produced a program
+    # XLA took tens of minutes to compile).
+    def tap(carry, s):
+        out, vz_sum = carry
+        s_f = s.astype(jnp.float32) - mz
+        wz = jnp.maximum(0.0, 1.0 - jnp.abs(fz - s_f))
+        shifted = jax.lax.dynamic_slice_in_dim(img_zpad, s, z, axis=1)
         warped = backward_warp(
             shifted.reshape(b * z, y, x, c), flow_yx, padding=padding
         ).reshape(b, z, y, x, c)
         out = out + wz[..., None] * warped.astype(jnp.float32)
         if vz_sum is not None:
-            zsrc = jnp.arange(z, dtype=jnp.float32).reshape(1, z, 1, 1) + s
+            zsrc = jnp.arange(z, dtype=jnp.float32).reshape(1, z, 1, 1) + s_f
             vz_sum = vz_sum + wz * ((zsrc >= 0) & (zsrc <= z - 1))
+        return (out, vz_sum), None
+
+    out0 = jnp.zeros((b, z, y, x, c), jnp.float32)
+    vz0 = jnp.zeros((b, z, y, x), jnp.float32) if padding == "zeros" else None
+    (out, vz_sum), _ = jax.lax.scan(
+        tap, (out0, vz0), jnp.arange(2 * mz + 1, dtype=jnp.int32)
+    )
     if vz_sum is not None:
         # out-of-range z taps clamp to the edge slab whose in-bounds twin has
         # the same value, so scaling by the in-bounds weight fraction converts

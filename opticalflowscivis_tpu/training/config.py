@@ -39,6 +39,7 @@ class ModelConfig:
     refine: bool = False
     bfloat16: bool = True  # compute dtype on TPU (params stay f32)
     bounded_warp_rz: int = 0  # 3-D slab-warp radius (0 = exact gather warp)
+    remat: bool = False  # rematerialize IFBlocks (jax.checkpoint) for 3-D memory
 
     @staticmethod
     def preset_2d(**kw) -> "ModelConfig":

@@ -57,6 +57,7 @@ def build_model(cfg: TrainConfig) -> IFNet:
         arbitrary_timestep=m.arbitrary_timestep,
         conv0_kernel=m.conv0_kernel,
         bounded_warp_rz=m.bounded_warp_rz,
+        remat=m.remat,
         dtype=jnp.bfloat16 if m.bfloat16 else None,
     )
 
