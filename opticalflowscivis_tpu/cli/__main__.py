@@ -258,6 +258,10 @@ def cmd_inference_video(argv):
     os.makedirs(dir_res, exist_ok=True)
     with open(os.path.join(dir_res, "interp_report.json"), "w") as f:
         json.dump(results, f, indent=2)
+    if results:
+        from opticalflowscivis_tpu.viz import plot_factor_comparison
+
+        plot_factor_comparison(results, dir_res)
     print(json.dumps(results), flush=True)
 
 

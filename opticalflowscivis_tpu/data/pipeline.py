@@ -119,3 +119,18 @@ class TupleDataset:
         for i in range(len(self)):
             sel = idx[i * self.batch_size : (i + 1) * self.batch_size]
             yield self.tuples[sel]
+
+    def epoch_device(self, sharding, shuffle: bool = True):
+        """One-step-lookahead device prefetch (⇔ tools.data_prefetcher's
+        CUDA-stream prefetch, UPFlow/utils/tools.py:177-249): the next batch's
+        H2D copy is issued while the current step computes — jax transfers are
+        async, so device_put alone provides the overlap."""
+        import jax
+
+        nxt = None
+        for batch in self.epoch(shuffle):
+            cur, nxt = nxt, jax.device_put(batch, sharding)
+            if cur is not None:
+                yield cur
+        if nxt is not None:
+            yield nxt

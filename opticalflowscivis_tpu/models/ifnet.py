@@ -97,6 +97,7 @@ class IFNet(nn.Module):
     teacher_channels: int = 64
     arbitrary_timestep: bool = False  # IFNet_m variant: timestep as input channel
     conv0_kernel: int = 3
+    refine: bool = False  # Contextnet/Unet residual refinement (IFNet.py:255-274)
     bounded_warp_rz: int = 0  # >0: 3-D slab warp, exact for |flow_z| <= r_z
     # (HBM-random gathers cost ~1.2 s per 256^3 warp; the slab decomposition is
     # ~100x faster and SciVis per-step velocities are <= 8, create_data_3d.py:56)
@@ -180,6 +181,19 @@ class IFNet(nn.Module):
         for i in range(n_blocks):
             m = merged[i][0] * mask_list[i] + merged[i][1] * (1 - mask_list[i])
             merged_out.append(m)
+
+        if self.refine:
+            # Contextnet/Unet residual fusion on the final prediction
+            # (IFNet.py:255-274; res = sigmoid*2-1, clamped add)
+            from opticalflowscivis_tpu.models.refine import Contextnet, Unet
+
+            ctx = Contextnet(nd, dtype=self.dtype, name="contextnet")
+            c0 = ctx(img0, flow[..., :nd])
+            c1 = ctx(img1, flow[..., nd:])
+            res = Unet(nd, out_channels=img0.shape[-1], dtype=self.dtype,
+                       name="unet")(img0, img1, warped0, warped1, mask, flow,
+                                    c0, c1)
+            merged_out[-1] = jnp.clip(merged_out[-1] + (res * 2 - 1), 0, 1)
             if gt is not None:
                 # Distill student flow toward teacher where the student's
                 # reconstruction is worse by >0.01 (IFNet.py:246-248).

@@ -55,6 +55,7 @@ def build_model(cfg: TrainConfig) -> IFNet:
         scales=tuple(m.scales),
         teacher_channels=m.teacher_channels,
         arbitrary_timestep=m.arbitrary_timestep,
+        refine=m.refine,
         conv0_kernel=m.conv0_kernel,
         bounded_warp_rz=m.bounded_warp_rz,
         remat=m.remat,
@@ -206,8 +207,7 @@ class Trainer:
         t0 = time.time()
         step = 0
         for epoch in range(epochs):
-            for batch_np in ds.epoch():
-                batch_dev = jax.device_put(jnp.asarray(batch_np), self.batch_sharding)
+            for batch_dev in ds.epoch_device(self.batch_sharding):
                 self.state, parts = self._jit_train(self.state, batch_dev)
                 step += 1
                 if log_every and step % log_every == 0:

@@ -158,6 +158,31 @@ def visualize_large_3d(
     )
 
 
+def plot_factor_comparison(
+    results: dict, dir_res: str, name: str = "factor_comparison.png"
+) -> str:
+    """Model-vs-linear-baseline PSNR/SSIM bars per interpolation factor.
+
+    ``results``: {factor: {psnr, ssim, psnr_linear_baseline, ssim_linear_baseline}}
+    — the inference_video report (⇔ error.py:345-505 bar charts, with the
+    reference arrays at error.py:442-443 as the comparison protocol).
+    """
+    factors = sorted(int(f) for f in results)
+    x = np.arange(len(factors))
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
+    for ax, metric, label in ((ax1, "psnr", "PSNR (dB)"), (ax2, "ssim", "SSIM")):
+        model_v = [results[f][metric] for f in factors]
+        base_v = [results[f][f"{metric}_linear_baseline"] for f in factors]
+        ax.bar(x - 0.2, model_v, width=0.4, label="model")
+        ax.bar(x + 0.2, base_v, width=0.4, label="linear baseline")
+        ax.set_xticks(x)
+        ax.set_xticklabels([f"{f}x" for f in factors])
+        ax.set_ylabel(label)
+        ax.legend(fontsize=8)
+    fig.suptitle("Interpolation quality vs factor")
+    return _save(fig, dir_res, name)
+
+
 def visualize_3d(volume: np.ndarray, dir_res: str, title: str = "volume") -> str:
     """Volume rendering: plotly go.Volume HTML if available (utils.py:531-648),
     otherwise a 3-axis mid-slice matplotlib panel."""
