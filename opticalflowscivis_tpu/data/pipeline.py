@@ -28,12 +28,16 @@ import numpy as np
 
 def minmax_normalize(data: np.ndarray) -> np.ndarray:
     """Min-max normalize the scalar channel to [0, 1]; flow channels untouched."""
-    data = np.nan_to_num(np.float32(data))  # Flow-3D/load_datasets.py:85-89
-    field = data[..., :1]
+    data = np.asarray(data, np.float32)
+    if not np.isfinite(data).all():  # NaN sanitization (Flow-3D/load_datasets.py:85-89)
+        data = np.nan_to_num(data)
+    data = data.copy()
+    field = data[..., 0]
     lo, hi = field.min(), field.max()
     if hi > lo:
-        field = (field - lo) / (hi - lo)
-    return np.concatenate([field, data[..., 1:]], axis=-1) if data.shape[-1] > 1 else field
+        np.subtract(field, lo, out=field)
+        np.divide(field, hi - lo, out=field)
+    return data
 
 
 def temporal_resample(data: np.ndarray, stride: int = 3) -> np.ndarray:

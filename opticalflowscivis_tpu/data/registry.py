@@ -220,9 +220,46 @@ def load_data(
     exp: int = 1,
     mode: str = "train",
     data_dir: str = "data_cache",
+    use_cache: bool = True,
 ):
-    """(train_tuples, val_tuples) for mode='train'; test_tuples for mode='test'."""
+    """(train_tuples, val_tuples) for mode='train'; test_tuples for mode='test'.
+
+    Prepared tuples are cached as .npy under ``data_dir/prepared/`` keyed by
+    (dataset, exp, mode) and invalidated by the source pkl's mtime — the
+    normalize/resample/flip/group pipeline costs tens of seconds on the big
+    datasets and is fully deterministic.
+    """
     spec = get_spec(dataset)
+    if use_cache and (spec.generator is not None or spec.pkl_file):
+        src = os.path.join(
+            data_dir,
+            f"{spec.name}.pkl" if spec.generator is not None else spec.pkl_file,
+        )
+        cache_dir = os.path.join(data_dir, "prepared")
+        tag = f"{spec.name}_exp{exp}_{mode}"
+        paths = [os.path.join(cache_dir, f"{tag}_{i}.npy") for i in range(2)]
+        if use_cache and os.path.exists(src) and all(
+            os.path.exists(p) and os.path.getmtime(p) > os.path.getmtime(src)
+            for p in (paths if mode == "train" else paths[:1])
+        ):
+            if mode == "train":
+                return np.load(paths[0]), np.load(paths[1])
+            return np.load(paths[0])
+    else:
+        paths = None
+
+    result = _load_data_uncached(spec, exp, mode, data_dir)
+    if use_cache and paths is not None:
+        os.makedirs(os.path.dirname(paths[0]), exist_ok=True)
+        if mode == "train":
+            np.save(paths[0], result[0])
+            np.save(paths[1], result[1])
+        else:
+            np.save(paths[0], result)
+    return result
+
+
+def _load_data_uncached(spec: DatasetSpec, exp: int, mode: str, data_dir: str):
     data = minmax_normalize(_load_raw(spec, data_dir))
     if mode == "train":
         if spec.val_pkl_file:  # droplet3d ships pre-split pkls
