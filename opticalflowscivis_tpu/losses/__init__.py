@@ -23,10 +23,17 @@ from opticalflowscivis_tpu.losses.basic import (
     sobel_loss,
 )
 from opticalflowscivis_tpu.losses.rife import RIFELossWeights, rife_losses
+from opticalflowscivis_tpu.losses.selfsup import (
+    SPTransformConfig,
+    eq_loss,
+    oi_loss,
+    sp_transform_pair,
+)
 from opticalflowscivis_tpu.losses.upflow import UPFlowLossConfig, upflow_losses
 
 __all__ = [
     "charbonnier", "epe", "l1_loss", "photometric_loss", "smoothness_loss",
     "sobel_loss", "flow_supervision", "RIFELossWeights", "rife_losses",
     "UPFlowLossConfig", "upflow_losses",
+    "SPTransformConfig", "sp_transform_pair", "eq_loss", "oi_loss",
 ]
