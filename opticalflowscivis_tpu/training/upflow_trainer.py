@@ -46,6 +46,9 @@ class UPFlowTrainConfig:
     bfloat16: bool = True
     pad_multiple: int = 64  # 6 stride-2 levels
     n_data: int | None = None
+    # ARFlow/ex_runner spatial-transform distillation (losses/selfsup.py)
+    eq_weight: float = 0.0  # equivariance distillation on transformed pairs
+    oi_weight: float = 0.0  # occlusion-photometric loss on transformed pairs
     model: UPFlowConfig = dataclasses.field(default_factory=UPFlowConfig)
     loss: UPFlowLossConfig = dataclasses.field(default_factory=UPFlowLossConfig)
 
@@ -72,12 +75,39 @@ class UPFlowTrainer:
         self.repl = NamedSharding(self.mesh, P())
         self.state = None
 
-        def train_step(state, pair):
+        use_sp = cfg.eq_weight > 0 or cfg.oi_weight > 0
+
+        def train_step(state, pair, rng):
             im1, im2 = pair[:, 0], pair[:, 1]
 
             def loss_fn(params):
                 out = self.net.apply(params, im1, im2)
-                return upflow_losses(out, im1, im2, cfg.loss)
+                total, parts = upflow_losses(out, im1, im2, cfg.loss)
+                if use_sp:
+                    # ex_runner-style spatial-transform distillation: student
+                    # runs on the transformed pair, teacher flow is the
+                    # stop-gradded un-transformed prediction
+                    from opticalflowscivis_tpu.losses.selfsup import (
+                        SPTransformConfig,
+                        eq_loss,
+                        oi_loss,
+                        sp_transform_pair,
+                    )
+
+                    t1, t2, sp = sp_transform_pair(rng, im1, im2, SPTransformConfig())
+                    out_t = self.net.apply(params, t1, t2)
+                    if cfg.eq_weight > 0:
+                        parts["eq_loss"] = cfg.eq_weight * eq_loss(
+                            out_t["flow_f"], out["flow_f"], sp
+                        )
+                        total = total + parts["eq_loss"]
+                    if cfg.oi_weight > 0:
+                        parts["oi_loss"] = cfg.oi_weight * oi_loss(
+                            t1, t2, out_t["flow_f"], out_t["flow_b"]
+                        )
+                        total = total + parts["oi_loss"]
+                    parts["loss_total"] = total
+                return total, parts
 
             (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             return state.apply_gradients(grads=grads), parts
@@ -105,7 +135,7 @@ class UPFlowTrainer:
         self.state = jax.device_put(state, self.repl)
         self._jit_train = jax.jit(
             self._train_step,
-            in_shardings=(self.repl, self.batch_sharding),
+            in_shardings=(self.repl, self.batch_sharding, self.repl),
             out_shardings=(self.repl, self.repl),
             donate_argnums=(0,),
         )
@@ -126,12 +156,15 @@ class UPFlowTrainer:
         history = []
         t0 = time.time()
         step = 0
+        root_key = jax.random.PRNGKey(cfg.seed + 1)
         for epoch in range(epochs):
             meter: dict[str, float] = {}
             n = 0
             for b in ds.epoch():
                 self.state, parts = self._jit_train(
-                    self.state, jax.device_put(jnp.asarray(b), self.batch_sharding)
+                    self.state,
+                    jax.device_put(jnp.asarray(b), self.batch_sharding),
+                    jax.random.fold_in(root_key, step),
                 )
                 step += 1
                 for k, v in parts.items():
