@@ -32,20 +32,25 @@ N_VARIANTS = 8  # distinct inputs cycled through the timing loop
 REFERENCE_PAIRS_PER_SEC = 9.8  # UPFlow training anchor (simple_train.py:56-59)
 
 
-def _timed(fn, variants, iters=ITERS):
-    """Best-of-3 average seconds/call over input variants (cache-proof)."""
-    jax.block_until_ready(fn(*variants[0]))  # compile
+def _timed(fn, make_variant, iters=ITERS):
+    """Average seconds/call over ``iters`` never-repeated, fully-materialized calls.
+
+    Two axon-relay traps (see CLAUDE.md): identical-input calls are cached, and
+    execution is LAZY — unmaterialized results never run and block_until_ready
+    does not force them.  So every call uses fresh inputs and its result is
+    materialized to host before the next call.
+    """
+    import numpy as np
+
+    warm = make_variant(-1)
+    np.asarray(jax.tree.leaves(fn(*warm))[0])  # compile + warm + materialize
+    variants = [make_variant(i) for i in range(iters)]
     for v in variants:
-        jax.block_until_ready(fn(*v))  # warm each variant once
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = None
-        for i in range(iters):
-            out = fn(*variants[i % len(variants)])
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        jax.block_until_ready(v)
+    t0 = time.perf_counter()
+    for v in variants:
+        np.asarray(jax.tree.leaves(fn(*v))[0])
+    return (time.perf_counter() - t0) / iters
 
 
 def bench_rife2d_inference():
@@ -62,10 +67,10 @@ def bench_rife2d_inference():
         out = net.apply(params, img0, img1, None)
         return out["merged"][-1]
 
-    variants = [
-        (params, img0 + i * 1e-4, img1 + i * 1e-4) for i in range(N_VARIANTS)
-    ]
-    sec = _timed(forward, variants)
+    def make_variant(i):
+        return (params, img0 + (i + 2) * 1e-4, img1 + (i + 2) * 1e-4)
+
+    sec = _timed(forward, make_variant)
     return BATCH / sec
 
 
@@ -83,8 +88,10 @@ def bench_rife3d_inference(size=64, batch=4):
     def forward(params, a, b):
         return net.apply(params, a, b, None)["merged"][-1]
 
-    variants = [(params, v0 + i * 1e-4, v1 + i * 1e-4) for i in range(4)]
-    sec = _timed(forward, variants, iters=8)
+    def make_variant(i):
+        return (params, v0 + (i + 2) * 1e-4, v1 + (i + 2) * 1e-4)
+
+    sec = _timed(forward, make_variant, iters=8)
     return batch / sec
 
 
@@ -111,11 +118,11 @@ def bench_train_step():
         tr.state, parts = tr._jit_train(tr.state, batch)
         return parts["loss_G"]
 
-    variants = [
-        (jax.device_put(jnp.asarray(tuples[i * 64 : (i + 1) * 64]), tr.batch_sharding),)
-        for i in range(2)
-    ]
-    sec = _timed(step, variants, iters=10)
+    def make_variant(i):
+        sel = np.random.default_rng(i + 7).integers(0, tuples.shape[0], 64)
+        return (jax.device_put(jnp.asarray(tuples[sel]), tr.batch_sharding),)
+
+    sec = _timed(step, make_variant, iters=10)
     return 64 / sec
 
 

@@ -98,6 +98,7 @@ class IFNet(nn.Module):
     arbitrary_timestep: bool = False  # IFNet_m variant: timestep as input channel
     conv0_kernel: int = 3
     refine: bool = False  # Contextnet/Unet residual refinement (IFNet.py:255-274)
+    fast_warp_r: int = 0  # >0 on TPU: MXU one-hot 2-D warp, exact for |flow| <= r
     bounded_warp_rz: int = 0  # >0: 3-D slab warp, exact for |flow_z| <= r_z
     # (HBM-random gathers cost ~1.2 s per 256^3 warp; the slab decomposition is
     # ~100x faster and SciVis per-step velocities are <= 8, create_data_3d.py:56)
@@ -132,7 +133,20 @@ class IFNet(nn.Module):
 
         if nd == 3 and self.bounded_warp_rz > 0:
             def warp(im, fl):
-                return backward_warp3d_slab(im, fl, r_z=self.bounded_warp_rz)
+                return backward_warp3d_slab(
+                    im, fl, r_z=self.bounded_warp_rz,
+                    r_yx=self.fast_warp_r or self.bounded_warp_rz,
+                )
+        elif nd == 2 and self.fast_warp_r > 0 and jax.default_backend() == "tpu":
+            from opticalflowscivis_tpu.ops.pallas.warp import (
+                backward_warp_pallas,
+                warp2d_pallas_supported,
+            )
+
+            def warp(im, fl):
+                if warp2d_pallas_supported(im.shape, self.fast_warp_r):
+                    return backward_warp_pallas(im, fl, self.fast_warp_r, "border")
+                return backward_warp(im, fl)
         else:
             warp = backward_warp
 
@@ -222,7 +236,13 @@ class IFNet(nn.Module):
 
 
 def ifnet_2d(in_channels: int = 1, dtype: Any = None, **kw) -> IFNet:
-    """Reference Flow-2D configuration (IFNet.py:124-138)."""
+    """Reference Flow-2D configuration (IFNet.py:124-138).
+
+    Defaults to the MXU one-hot warp on TPU (r=16, ~4x device time vs the
+    gather warp; exact for |flow| <= 16); pass ``fast_warp_r=0`` for the
+    unbounded gather path.
+    """
+    kw.setdefault("fast_warp_r", 16)
     return IFNet(ndim=2, in_channels=in_channels,
                  block_channels=(128, 96, 64), teacher_channels=64,
                  conv0_kernel=3, dtype=dtype, **kw)
@@ -236,6 +256,7 @@ def ifnet_3d(in_channels: int = 1, dtype: Any = None, **kw) -> IFNet:
     unbounded-gather path.
     """
     kw.setdefault("bounded_warp_rz", 10)
+    kw.setdefault("fast_warp_r", 16)
     return IFNet(ndim=3, in_channels=in_channels,
                  block_channels=(128, 64, 64), teacher_channels=64,
                  conv0_kernel=4, dtype=dtype, **kw)

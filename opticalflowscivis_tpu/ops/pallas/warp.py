@@ -1,25 +1,31 @@
 """Fused backward-warp kernel (Pallas / TPU) — gather-free bilinear sampling.
 
-Why: XLA lowers ``take_along_axis`` to a TPU gather that costs ~9 ns/element
-(measured: a single 256^3 warp = 1.2 s), which makes warping dominate both RIFE
-pipelines.  The TPU has no vector gather — the only fast path is to convert
-random access into arithmetic.  This kernel does exact bilinear sampling as a
-**one-hot matmul** on the MXU:
+Why: XLA lowers warp gathers to per-element random access that measures at
+~47 ms for one 32x160x224 warp on v5e (materialized timing — the relay executes
+lazily, so naive timings lie), making warping dominate both RIFE pipelines.
+The TPU has no vector gather — the fast path converts random access into
+arithmetic.  This kernel does exact bilinear sampling as a **one-hot matmul**
+on the MXU:
 
-  For an output row-tile, the source rows live in a bounded window (displacement
-  clamped to ±R).  Build A[p, q] = w_lo(p)·1[q = iy0(p)] + w_hi(p)·1[q = iy0(p)+1]
-  (the y-interpolation matrix of the tile, via iota comparisons — pure VPU), then
-  rows = A @ window  (MXU) interpolates along y for every column; a second
-  one-hot mask X[p, xw] contracted elementwise interpolates along x.
+  For an output row-chunk, source rows live in a bounded window (displacement
+  clamped to ±R).  A[p, q] = w_lo(p)·1[q = iy0(p)] + w_hi(p)·1[q = iy0(p)+1]
+  (built via iota comparisons — VPU), then rows = A @ window (MXU) interpolates
+  along y for every window column; a second one-hot mask contracted elementwise
+  interpolates along x.
 
-Exactness domain: displacements with |flow| <= R (default 16) relative to each
-output pixel; beyond that the sample clamps to the window edge (the jnp gather
-path in ``ops.warp`` stays the general/unbounded reference and the CPU path).
-SciVis flows are physically small (generator velocities <= 8 px/step,
-Datasets/create_rectangle_2d.py:120-127), so R=16 covers the reference's data.
+Mosaic constraints shaped the implementation:
+- no lane-crossing reshapes inside kernels → the per-pixel coordinates
+  (iy0, ay, ix0, ax) are computed and flattened to [P, 1] by XLA outside;
+  every in-kernel tensor stays 2-D;
+- halo windows are produced as XLA slices feeding full-block pallas_calls;
+- multi-channel windows are flattened to [THwin, Wwin*C] and the x one-hot is
+  built channel-repeated via an iota floor-div, avoiding lane-splitting.
 
-Backward pass: custom_vjp whose bwd uses the exact jnp formulation (correct but
-gather-bound) — a fused backward kernel is a follow-up optimization.
+Exactness domain: |flow| <= R (default 16) — beyond that the displacement
+clamps (the jnp gather path in ``ops.warp`` stays the general reference and
+CPU path).  SciVis flows are <= 8 px/step (create_rectangle_2d.py:120-127).
+
+Backward: custom_vjp; bwd uses the exact jnp formulation for now.
 """
 
 from __future__ import annotations
@@ -31,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 12 * 1024 * 1024
+_VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -45,14 +51,16 @@ def _pick_tile(h: int, w: int, c: int, r: int) -> int | None:
     for th in (32, 16, 8, 4, 2, 1):
         if h % th:
             continue
-        p = th * w  # output pixels per tile
+        p = th * w
         thwin = th + 2 * margin
-        a = _round_up(p, 8) * _round_up(thwin, 128) * 4
+        p8 = _round_up(p, 8)
+        a = p8 * _round_up(thwin, 128) * 4
         win = _round_up(thwin, 8) * _round_up(wwin * c, 128) * 4
-        rows = _round_up(p, 8) * _round_up(wwin * c, 128) * 4
-        outb = _round_up(th, 8) * _round_up(w * c, 128) * 4
-        flowb = _round_up(th, 8) * _round_up(w * 2, 128) * 4
-        if (a + win + rows + outb + flowb) * 2 < _VMEM_BUDGET:
+        rows = p8 * _round_up(wwin * c, 128) * 4
+        xmask = p8 * _round_up(wwin * c, 128) * 4
+        outb = p8 * 128 * 4
+        coeff = p8 * 128 * 4
+        if (a + win + rows + xmask + outb + coeff) * 2 < _VMEM_BUDGET:
             return th
     return None
 
@@ -64,53 +72,37 @@ def warp2d_pallas_supported(img_shape: tuple, r: int = 16) -> bool:
     return _pick_tile(h, w, c, r) is not None
 
 
-def _warp_kernel(r: int, th: int, w: int, c: int, padding: str,
-                 img_ref, flow_ref, out_ref):
-    """One row-chunk: img window [1, THwin, Wwin, C], flow [1, TH, W, 2] →
-    out [1, TH, W, C].  Window = chunk rows padded by margin=r+1 on every side
-    (edge padding done by the caller), so window coords = local + margin + flow.
-    """
-    margin = r + 1
-    thwin = th + 2 * margin
-    wwin = w + 2 * margin
-    p = th * w
+def _warp_kernel(thwin: int, wwin: int, c: int, win_ref, coef_ref, out_ref):
+    """win [1,1,THwin,Wwin*C]; coef [1,1,P,4] = (iy0, ay, ix0, ax) window
+    coords; out [1,1,P,C].  Effectively 2-D per block — no lane-crossing
+    reshapes; one MXU matmul + one masked lane reduction."""
+    p = coef_ref.shape[2]
+    coef = coef_ref[0, 0]
+    iy0 = coef[:, 0:1]
+    ay = coef[:, 1:2]
+    ix0 = coef[:, 2:3]
+    ax = coef[:, 3:4]
 
-    flow = flow_ref[0].astype(jnp.float32)  # [TH, W, 2]
-    fy = jnp.clip(flow[..., 0], -r, r)
-    fx = jnp.clip(flow[..., 1], -r, r)
-
-    row_local = jax.lax.broadcasted_iota(jnp.int32, (th, w), 0).astype(jnp.float32)
-    col_local = jax.lax.broadcasted_iota(jnp.int32, (th, w), 1).astype(jnp.float32)
-    wy = row_local + margin + fy  # window-space y in [1, thwin-2]
-    wx = col_local + margin + fx
-
-    iy0 = jnp.floor(wy)
-    ay = wy - iy0
-    ix0 = jnp.floor(wx)
-    ax = wx - ix0
-
-    # y-interpolation one-hot matrix A [P, THwin] (two taps folded in)
     q = jax.lax.broadcasted_iota(jnp.int32, (p, thwin), 1).astype(jnp.float32)
-    iy0f = iy0.reshape(p, 1)
-    ayf = ay.reshape(p, 1)
-    a_mat = jnp.where(q == iy0f, 1.0 - ayf, 0.0) + jnp.where(q == iy0f + 1.0, ayf, 0.0)
+    a_mat = jnp.where(q == iy0, 1.0 - ay, 0.0) + jnp.where(q == iy0 + 1.0, ay, 0.0)
 
-    win = img_ref[0].astype(jnp.float32).reshape(thwin, wwin * c)
+    win = win_ref[0, 0].astype(jnp.float32)
     rows = jnp.dot(a_mat, win, preferred_element_type=jnp.float32)  # [P, Wwin*C]
 
-    # x-interpolation: two-tap mask X [P, Wwin] contracted over the window cols
-    xw = jax.lax.broadcasted_iota(jnp.int32, (p, wwin), 1).astype(jnp.float32)
-    ix0f = ix0.reshape(p, 1)
-    axf = ax.reshape(p, 1)
-    x_mat = jnp.where(xw == ix0f, 1.0 - axf, 0.0) + jnp.where(xw == ix0f + 1.0, axf, 0.0)
+    # x one-hot, channel-repeated: column index of lane l is l // C
+    col = (jax.lax.broadcasted_iota(jnp.int32, (p, wwin * c), 1) // c).astype(
+        jnp.float32
+    )
+    x_mat = jnp.where(col == ix0, 1.0 - ax, 0.0) + jnp.where(col == ix0 + 1.0, ax, 0.0)
 
+    prod = rows * x_mat  # [P, Wwin*C]
     if c == 1:
-        out = jnp.sum(rows * x_mat, axis=1)  # [P]
-        out_ref[0] = out.reshape(th, w, 1)
+        out_ref[0, 0, :, 0] = jnp.sum(prod, axis=1)
     else:
-        rows3 = rows.reshape(p, wwin, c)
-        out = jnp.sum(rows3 * x_mat[..., None], axis=1)  # [P, C]
-        out_ref[0] = out.reshape(th, w, c)
+        # channel split without lane reshape: mask per channel and reduce
+        ch = jax.lax.broadcasted_iota(jnp.int32, (p, wwin * c), 1) % c
+        for k in range(c):
+            out_ref[0, 0, :, k] = jnp.sum(jnp.where(ch == k, prod, 0.0), axis=1)
 
 
 def _forward(img, flow, r, padding):
@@ -119,45 +111,58 @@ def _forward(img, flow, r, padding):
     if th is None:
         raise ValueError(f"shape {img.shape} does not tile into VMEM")
     margin = r + 1
-    mode = "edge"  # border semantics; zeros handled via mask below
-    img_pad = jnp.pad(
-        img, [(0, 0), (margin, margin), (margin, margin), (0, 0)], mode=mode
-    )
-
     thwin = th + 2 * margin
     wwin = w + 2 * margin
-    call = pl.pallas_call(
-        partial(_warp_kernel, r, th, w, c, padding),
-        out_shape=jax.ShapeDtypeStruct((b, th, w, c), jnp.float32),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, thwin, wwin, c), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, w, 2), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, th, w, c), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * th * w * thwin * wwin * c,
-            bytes_accessed=(b * thwin * wwin * c + 2 * b * th * w * (c + 2)) * 4,
-            transcendentals=0,
-        ),
+    p = th * w
+    n_chunks = h // th
+
+    img_pad = jnp.pad(
+        img, [(0, 0), (margin, margin), (margin, margin), (0, 0)], mode="edge"
     )
 
-    chunks = []
-    for j in range(h // th):
-        win = jax.lax.slice_in_dim(img_pad, j * th, j * th + thwin, axis=1)
-        fl = jax.lax.slice_in_dim(flow, j * th, (j + 1) * th, axis=1)
-        chunks.append(call(win, fl))
-    out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=1)
+    # XLA-side prep: window coords flattened to [B, n_chunks, P, 4] and the
+    # (overlapping) row windows [B, n_chunks, THwin, Wwin*C] — both consumed
+    # blockwise by a (B, n_chunks) kernel grid.
+    flow_f = jnp.clip(flow.astype(jnp.float32), -r, r)
+    row_local = jax.lax.broadcasted_iota(jnp.float32, (1, n_chunks, th, w), 2)
+    col_local = jax.lax.broadcasted_iota(jnp.float32, (1, n_chunks, th, w), 3)
+    fl = flow_f.reshape(b, n_chunks, th, w, 2)
+    wy = row_local + margin + fl[..., 0]
+    wx = col_local + margin + fl[..., 1]
+    iy0 = jnp.floor(wy)
+    ix0 = jnp.floor(wx)
+    coefs = jnp.stack([iy0, wy - iy0, ix0, wx - ix0], axis=-1).reshape(
+        b, n_chunks, p, 4
+    )
+    windows = jnp.stack(
+        [
+            jax.lax.slice_in_dim(img_pad, j * th, j * th + thwin, axis=1)
+            for j in range(n_chunks)
+        ],
+        axis=1,
+    ).reshape(b, n_chunks, thwin, wwin * c)
+
+    out = pl.pallas_call(
+        partial(_warp_kernel, thwin, wwin, c),
+        out_shape=jax.ShapeDtypeStruct((b, n_chunks, p, c), jnp.float32),
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, thwin, wwin * c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p, 4), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, p, c), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_chunks * p * thwin * wwin * c,
+            bytes_accessed=b * n_chunks * (thwin * wwin * c + p * (4 + c)) * 4,
+            transcendentals=0,
+        ),
+    )(windows, coefs)
+    out = out.reshape(b, h, w, c)
 
     if padding == "zeros":
-        # Convert border (edge-clamped) values to zeros semantics: per axis the
-        # edge-clamped sample equals img[valid corner], while zeros-padding
-        # gives (in-bounds weight) * img[valid corner] — so multiplying by the
-        # per-axis in-bounds weight fraction reproduces grid_sample zeros
-        # exactly (including the 1-px partial-weight boundary band).
         def axis_weight(s, size):
             lo = jnp.floor(s)
             frac = s - lo
@@ -167,10 +172,155 @@ def _forward(img, flow, r, padding):
 
         base_y = jnp.arange(h, dtype=jnp.float32).reshape(1, h, 1)
         base_x = jnp.arange(w, dtype=jnp.float32).reshape(1, 1, w)
-        vy = axis_weight(base_y + flow[..., 0].astype(jnp.float32), h)
-        vx = axis_weight(base_x + flow[..., 1].astype(jnp.float32), w)
-        out = out * (vy * vx)[..., None].astype(out.dtype)
+        vy = axis_weight(base_y + flow_f[..., 0], h)
+        vx = axis_weight(base_x + flow_f[..., 1], w)
+        out = out * (vy * vx)[..., None]
     return out.astype(img.dtype)
+
+
+def _bwd_kernel(thwin: int, wwin: int, c: int, win_ref, coef_ref, g_ref,
+                dwin_ref, dcoef_ref):
+    """Fused backward: dwin = Aᵀ @ (G⊙X); dwy/dwx via derivative one-hots.
+
+    win [1,1,THwin,Wwin*C]; coef [1,1,P,4]; g [1,1,P,C] →
+    dwin [1,1,THwin,Wwin*C]; dcoef [1,1,P,2] = (dwy, dwx).
+    """
+    p = coef_ref.shape[2]
+    coef = coef_ref[0, 0]
+    iy0, ay = coef[:, 0:1], coef[:, 1:2]
+    ix0, ax = coef[:, 2:3], coef[:, 3:4]
+    g = g_ref[0, 0].astype(jnp.float32)  # [P, C]
+    win = win_ref[0, 0].astype(jnp.float32)  # [THwin, Wwin*C]
+
+    q = jax.lax.broadcasted_iota(jnp.int32, (p, thwin), 1).astype(jnp.float32)
+    oh_y_lo = jnp.where(q == iy0, 1.0, 0.0)
+    oh_y_hi = jnp.where(q == iy0 + 1.0, 1.0, 0.0)
+    a_mat = oh_y_lo * (1.0 - ay) + oh_y_hi * ay
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (p, wwin * c), 1)
+    col = (lane // c).astype(jnp.float32)
+    oh_x_lo = jnp.where(col == ix0, 1.0, 0.0)
+    oh_x_hi = jnp.where(col == ix0 + 1.0, 1.0, 0.0)
+    x_mat = oh_x_lo * (1.0 - ax) + oh_x_hi * ax
+
+    if c == 1:
+        g_cols = g[:, 0:1]  # broadcast over lanes
+        gx = x_mat * g_cols
+    else:
+        ch = lane % c
+        gx = jnp.zeros((p, wwin * c), jnp.float32)
+        for k in range(c):
+            gx = gx + jnp.where(ch == k, x_mat * g[:, k : k + 1], 0.0)
+
+    # dwin = Aᵀ @ GX  (contract P)
+    dwin_ref[0, 0] = jax.lax.dot_general(
+        a_mat, gx, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # dA = GX @ winᵀ (contract window columns) → dwy via (hi − lo) one-hots
+    d_a = jax.lax.dot_general(
+        gx, win, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [P, THwin]
+    dcoef_ref[0, 0, :, 0] = jnp.sum(d_a * (oh_y_hi - oh_y_lo), axis=1)
+
+    # rows = A @ win; dX = rows ⊙ G_cols → dwx via x (hi − lo) one-hots
+    rows = jnp.dot(a_mat, win, preferred_element_type=jnp.float32)
+    if c == 1:
+        rows_g = rows * g[:, 0:1]
+    else:
+        ch = lane % c
+        rows_g = jnp.zeros((p, wwin * c), jnp.float32)
+        for k in range(c):
+            rows_g = rows_g + jnp.where(ch == k, rows * g[:, k : k + 1], 0.0)
+    dcoef_ref[0, 0, :, 1] = jnp.sum(rows_g * (oh_x_hi - oh_x_lo), axis=1)
+
+
+def _backward_fused(img, flow, r, g):
+    """Border-mode fused backward pass (same tiling as the forward)."""
+    b, h, w, c = img.shape
+    th = _pick_tile(h, w, c, r)
+    margin = r + 1
+    thwin = th + 2 * margin
+    wwin = w + 2 * margin
+    p = th * w
+    n_chunks = h // th
+
+    img_pad = jnp.pad(
+        img, [(0, 0), (margin, margin), (margin, margin), (0, 0)], mode="edge"
+    )
+    flow_f = jnp.clip(flow.astype(jnp.float32), -r, r)
+    row_local = jax.lax.broadcasted_iota(jnp.float32, (1, n_chunks, th, w), 2)
+    col_local = jax.lax.broadcasted_iota(jnp.float32, (1, n_chunks, th, w), 3)
+    fl = flow_f.reshape(b, n_chunks, th, w, 2)
+    wy = row_local + margin + fl[..., 0]
+    wx = col_local + margin + fl[..., 1]
+    iy0 = jnp.floor(wy)
+    ix0 = jnp.floor(wx)
+    coefs = jnp.stack([iy0, wy - iy0, ix0, wx - ix0], axis=-1).reshape(
+        b, n_chunks, p, 4
+    )
+    windows = jnp.stack(
+        [
+            jax.lax.slice_in_dim(img_pad, j * th, j * th + thwin, axis=1)
+            for j in range(n_chunks)
+        ],
+        axis=1,
+    ).reshape(b, n_chunks, thwin, wwin * c)
+    g4 = g.astype(jnp.float32).reshape(b, n_chunks, p, c)
+
+    dwin, dcoef = pl.pallas_call(
+        partial(_bwd_kernel, thwin, wwin, c),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_chunks, thwin, wwin * c), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_chunks, p, 2), jnp.float32),
+        ),
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, thwin, wwin * c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p, 4), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, thwin, wwin * c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p, 2), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )(windows, coefs, g4)
+
+    # overlap-add the window grads back into the padded image, then fold the
+    # edge-padding adjoint (margins accumulate onto the border pixels)
+    dwin = dwin.reshape(b, n_chunks, thwin, wwin, c)
+    dimg_pad = jnp.zeros((b, h + 2 * margin, w + 2 * margin, c), jnp.float32)
+    for j in range(n_chunks):
+        dimg_pad = jax.lax.dynamic_update_slice_in_dim(
+            dimg_pad,
+            jax.lax.dynamic_slice_in_dim(dimg_pad, j * th, thwin, axis=1)
+            + dwin[:, j],
+            j * th,
+            axis=1,
+        )
+    # pad-adjoint: rows/cols in the margins flow to the nearest edge pixel
+    top = jnp.sum(dimg_pad[:, : margin + 1], axis=1, keepdims=True)
+    bot = jnp.sum(dimg_pad[:, -(margin + 1) :], axis=1, keepdims=True)
+    mid = dimg_pad[:, margin + 1 : -(margin + 1)]
+    dimg_rows = jnp.concatenate([top, mid, bot], axis=1)
+    left = jnp.sum(dimg_rows[:, :, : margin + 1], axis=2, keepdims=True)
+    right = jnp.sum(dimg_rows[:, :, -(margin + 1) :], axis=2, keepdims=True)
+    dimg = jnp.concatenate(
+        [left, dimg_rows[:, :, margin + 1 : -(margin + 1)], right], axis=2
+    )
+
+    dcoef = dcoef.reshape(b, n_chunks, th, w, 2).reshape(b, h, w, 2)
+    # clip adjoint: zero gradient where the displacement was clamped
+    inside = (jnp.abs(flow.astype(jnp.float32)) < r).astype(jnp.float32)
+    dflow = dcoef * inside
+    return dimg, dflow
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -186,62 +336,22 @@ def _fwd(img, flow, r, padding):
 
 
 def _bwd(r, padding, res, g):
+    img, flow = res
+    if padding == "border":
+        dimg, dflow = _backward_fused(img, flow, r, g)
+        return dimg.astype(img.dtype), dflow.astype(flow.dtype)
+
+    # zeros mode: fall back to the exact jnp formulation
     from opticalflowscivis_tpu.ops.warp import backward_warp
 
-    img, flow = res
     flow_c = jnp.clip(flow, -r, r)
 
     def f(im, fl):
         return backward_warp(im, fl, padding=padding)
 
-    _, vjp = jax.vjp(f, img, flow_c)
-    dimg, dflow = vjp(g.astype(jnp.float32))
+    out_example, vjp = jax.vjp(f, img, flow_c)
+    dimg, dflow = vjp(g.astype(out_example.dtype))
     return dimg.astype(img.dtype), dflow.astype(flow.dtype)
 
 
 backward_warp_pallas.defvjp(_fwd, _bwd)
-
-
-def backward_warp3d_bounded(
-    img: jax.Array, flow: jax.Array, r_z: int = 8, r_yx: int = 16,
-    padding: str = "border",
-) -> jax.Array:
-    """Gather-free trilinear warp for volumes, exact for bounded displacements.
-
-    Decomposition: trilinear(img, (fz, fy, fx)) =
-      Σ_s hat(fz - s) · bilinear2d(img[z+s], (fy, fx))  for s ∈ [-r_z-1, r_z+1]
-    — the z interpolation is a (2·r_z+3)-tap weighted sum of z-shifted volumes,
-    each bilinearly warped in-plane by the MXU one-hot kernel with the volume's
-    z axis folded into the batch.  Exact for |flow_z| <= r_z and
-    |flow_{y,x}| <= r_yx; displacement clamps beyond (SciVis velocities are
-    <= 8 px/step, Datasets/create_data_3d.py:56-57).
-
-    img: [B, Z, Y, X, C]; flow: [B, Z, Y, X, 3] row-major (dz, dy, dx).
-    """
-    b, z, y, x, c = img.shape
-    fz = jnp.clip(flow[..., 0].astype(jnp.float32), -r_z, r_z)
-    flow_yx = flow[..., 1:3].reshape(b * z, y, x, 2)
-
-    mz = r_z + 1
-    img_zpad = jnp.pad(img, [(0, 0), (mz, mz), (0, 0), (0, 0), (0, 0)],
-                       mode="edge")
-
-    out = jnp.zeros((b, z, y, x, c), jnp.float32)
-    vz_sum = jnp.zeros((b, z, y, x, 1), jnp.float32) if padding == "zeros" else None
-    for s in range(-mz, mz + 1):
-        wz = jnp.maximum(0.0, 1.0 - jnp.abs(fz - s))  # hat weight, [B,Z,Y,X]
-        shifted = jax.lax.slice_in_dim(img_zpad, s + mz, s + mz + z, axis=1)
-        warped = backward_warp_pallas(
-            shifted.reshape(b * z, y, x, c), flow_yx, r_yx, padding
-        ).reshape(b, z, y, x, c)
-        out = out + wz[..., None] * warped.astype(jnp.float32)
-        if vz_sum is not None:
-            zsrc = jnp.arange(z, dtype=jnp.float32).reshape(1, z, 1, 1) + s
-            inb = ((zsrc >= 0) & (zsrc <= z - 1)).astype(jnp.float32)
-            vz_sum = vz_sum + (wz * inb)[..., None]
-    if vz_sum is not None:
-        # zeros semantics along z: scale by the in-bounds z weight fraction
-        # (the edge-padded taps contributed border values; vz rescales them out)
-        total = jnp.clip(vz_sum, 0.0, 1.0)
-        out = out * total
-    return out.astype(img.dtype)

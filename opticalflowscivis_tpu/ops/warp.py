@@ -141,9 +141,13 @@ def backward_warp(
     return multilinear_sample(img, coords, padding, return_mask)
 
 
-@partial(jax.jit, static_argnames=("r_z", "padding"))
+@partial(jax.jit, static_argnames=("r_z", "padding", "r_yx"))
 def backward_warp3d_slab(
-    img: jax.Array, flow: jax.Array, r_z: int = 8, padding: str = "border"
+    img: jax.Array,
+    flow: jax.Array,
+    r_z: int = 8,
+    padding: str = "border",
+    r_yx: int = 0,
 ) -> jax.Array:
     """Trilinear warp of large volumes without HBM-random gathers.
 
@@ -165,6 +169,25 @@ def backward_warp3d_slab(
     fz = jnp.clip(flow[..., 0].astype(jnp.float32), -r_z, r_z)
     flow_yx = flow[..., 1:3].reshape(b * z, y, x, 2)
 
+    # in-plane warp backend: r_yx > 0 selects the MXU one-hot kernel on TPU
+    # (exact for |flow_{y,x}| <= r_yx) — the jnp gather path costs ~250x more
+    # device time per slab on v5e
+    if r_yx > 0 and jax.default_backend() == "tpu":
+        from opticalflowscivis_tpu.ops.pallas.warp import (
+            backward_warp_pallas,
+            warp2d_pallas_supported,
+        )
+
+        if warp2d_pallas_supported((b * z, y, x, c), r_yx):
+            def warp2d(im, fl):
+                return backward_warp_pallas(im, fl, r_yx, padding)
+        else:
+            def warp2d(im, fl):
+                return backward_warp(im, fl, padding=padding)
+    else:
+        def warp2d(im, fl):
+            return backward_warp(im, fl, padding=padding)
+
     mz = r_z + 1
     img_zpad = jnp.pad(img, [(0, 0), (mz, mz), (0, 0), (0, 0), (0, 0)], mode="edge")
 
@@ -176,9 +199,9 @@ def backward_warp3d_slab(
         s_f = s.astype(jnp.float32) - mz
         wz = jnp.maximum(0.0, 1.0 - jnp.abs(fz - s_f))
         shifted = jax.lax.dynamic_slice_in_dim(img_zpad, s, z, axis=1)
-        warped = backward_warp(
-            shifted.reshape(b * z, y, x, c), flow_yx, padding=padding
-        ).reshape(b, z, y, x, c)
+        warped = warp2d(shifted.reshape(b * z, y, x, c), flow_yx).reshape(
+            b, z, y, x, c
+        )
         out = out + wz[..., None] * warped.astype(jnp.float32)
         if vz_sum is not None:
             zsrc = jnp.arange(z, dtype=jnp.float32).reshape(1, z, 1, 1) + s_f

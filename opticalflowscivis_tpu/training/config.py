@@ -38,6 +38,7 @@ class ModelConfig:
     arbitrary_timestep: bool = False
     refine: bool = False
     bfloat16: bool = True  # compute dtype on TPU (params stay f32)
+    fast_warp_r: int = 16  # 2-D MXU warp radius on TPU (0 = exact gather warp)
     bounded_warp_rz: int = 0  # 3-D slab-warp radius (0 = exact gather warp)
     remat: bool = False  # rematerialize IFBlocks (jax.checkpoint) for 3-D memory
 

@@ -57,6 +57,7 @@ def build_model(cfg: TrainConfig) -> IFNet:
         arbitrary_timestep=m.arbitrary_timestep,
         refine=m.refine,
         conv0_kernel=m.conv0_kernel,
+        fast_warp_r=m.fast_warp_r,
         bounded_warp_rz=m.bounded_warp_rz,
         remat=m.remat,
         dtype=jnp.bfloat16 if m.bfloat16 else None,
