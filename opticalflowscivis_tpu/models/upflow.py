@@ -108,8 +108,30 @@ class ContextNetwork(nn.Module):
         return ConvLeaky(self.f_channels[-1], relu=False, dtype=self.dtype)(x)
 
 
-def warp_with_mask(feature: jax.Array, flow: jax.Array) -> jax.Array:
-    """WarpingLayer_no_div: zeros-padded warp x warped-ones validity mask."""
+def warp_with_mask(feature: jax.Array, flow: jax.Array, fast_r: int = 0) -> jax.Array:
+    """WarpingLayer_no_div: zeros-padded warp x warped-ones validity mask.
+
+    ``fast_r > 0`` on TPU uses the MXU one-hot kernel (exact for |flow| <=
+    fast_r) with the validity mask computed analytically — the warped-ones
+    trick exists in the reference only because torch lacks the closed form.
+    """
+    if fast_r > 0 and jax.default_backend() == "tpu":
+        from opticalflowscivis_tpu.ops.pallas.warp import (
+            backward_warp_pallas,
+            warp2d_pallas_supported,
+        )
+
+        if warp2d_pallas_supported(feature.shape, fast_r):
+            warped = backward_warp_pallas(feature, flow, fast_r, "zeros")
+            h, w = feature.shape[1:3]
+            fy = jnp.clip(flow[..., 0].astype(jnp.float32), -fast_r, fast_r)
+            fx = jnp.clip(flow[..., 1].astype(jnp.float32), -fast_r, fast_r)
+            sy = jnp.arange(h, dtype=jnp.float32).reshape(1, h, 1) + fy
+            sx = jnp.arange(w, dtype=jnp.float32).reshape(1, 1, w) + fx
+            valid = (
+                (sy >= 0) & (sy <= h - 1) & (sx >= 0) & (sx <= w - 1)
+            ).astype(warped.dtype)
+            return warped * valid[..., None]
     warped, mask = backward_warp(feature, flow, padding="zeros", return_mask=True)
     return warped * (mask > 0.9999).astype(warped.dtype)
 

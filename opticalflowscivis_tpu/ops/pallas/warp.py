@@ -1,31 +1,32 @@
 """Fused backward-warp kernel (Pallas / TPU) — gather-free bilinear sampling.
 
-Why: XLA lowers warp gathers to per-element random access that measures at
-~47 ms for one 32x160x224 warp on v5e (materialized timing — the relay executes
-lazily, so naive timings lie), making warping dominate both RIFE pipelines.
-The TPU has no vector gather — the fast path converts random access into
-arithmetic.  This kernel does exact bilinear sampling as a **one-hot matmul**
-on the MXU:
+Why: XLA lowers warp gathers to per-element random access (~47 ms for one
+32x160x224 warp on v5e, materialized timing), making warping dominate both RIFE
+pipelines.  The TPU has no vector gather — the fast path converts random access
+into arithmetic.  This kernel does exact bilinear sampling as a **one-hot
+matmul** on the MXU.
 
-  For an output row-chunk, source rows live in a bounded window (displacement
-  clamped to ±R).  A[p, q] = w_lo(p)·1[q = iy0(p)] + w_hi(p)·1[q = iy0(p)+1]
-  (built via iota comparisons — VPU), then rows = A @ window (MXU) interpolates
-  along y for every window column; a second one-hot mask contracted elementwise
-  interpolates along x.
+Transposed formulation (pixels on the LANE dim): for an output row-chunk of
+P = TILE_H*W pixels whose sources live in a ±R window,
 
-Mosaic constraints shaped the implementation:
-- no lane-crossing reshapes inside kernels → the per-pixel coordinates
-  (iy0, ay, ix0, ax) are computed and flattened to [P, 1] by XLA outside;
-  every in-kernel tensor stays 2-D;
-- halo windows are produced as XLA slices feeding full-block pallas_calls;
-- multi-channel windows are flattened to [THwin, Wwin*C] and the x one-hot is
-  built channel-repeated via an iota floor-div, avoiding lane-splitting.
+  A_T[q, p] = (1-ay_p)·1[q = iy0_p] + ay_p·1[q = iy0_p + 1]      [THwin, P]
+  rows_T    = win_T @ A_T  via dot_general(win, A_T, contract THwin)  [Wwin*C, P]
+  X_T[l, p] = (1-ax_p)·1[l//C = ix0_p] + ax_p·1[l//C = ix0_p+1]  [Wwin*C, P]
+  out[k, p] = Σ_l 1[l%C = k] · rows_T[l, p] · X_T[l, p]
 
-Exactness domain: |flow| <= R (default 16) — beyond that the displacement
-clamps (the jnp gather path in ``ops.warp`` stays the general reference and
-CPU path).  SciVis flows are <= 8 px/step (create_rectangle_2d.py:120-127).
+Layout rationale (all learned the hard way, see CLAUDE.md):
+- Mosaic rejects lane-crossing reshapes → per-pixel coords are flattened by
+  XLA and carried as [..., 4, P] (P on lanes: no tile-padding blowup — the
+  [..., P, 4] orientation padded 4→128 lanes and ghosted 8 GB of HBM at 256³);
+- halo windows are XLA slices feeding a (batch, chunk) kernel grid;
+- orientation changes ride dot_general dimension numbers, never transposes.
 
-Backward: custom_vjp; bwd uses the exact jnp formulation for now.
+Exactness domain: |flow| <= R (default 16); displacement clamps beyond (the jnp
+gather path in ``ops.warp`` is the general reference and CPU path).  SciVis
+flows are <= 8 px/step (create_rectangle_2d.py:120-127).
+
+Backward: fused Pallas kernel for border mode (dwin = A @ GXᵀ; dflow via
+derivative one-hots); zeros mode falls back to the jnp vjp.
 """
 
 from __future__ import annotations
@@ -53,13 +54,13 @@ def _pick_tile(h: int, w: int, c: int, r: int) -> int | None:
             continue
         p = th * w
         thwin = th + 2 * margin
-        p8 = _round_up(p, 8)
-        a = p8 * _round_up(thwin, 128) * 4
+        pl_ = _round_up(p, 128)
+        a = _round_up(thwin, 8) * pl_ * 4
         win = _round_up(thwin, 8) * _round_up(wwin * c, 128) * 4
-        rows = p8 * _round_up(wwin * c, 128) * 4
-        xmask = p8 * _round_up(wwin * c, 128) * 4
-        outb = p8 * 128 * 4
-        coeff = p8 * 128 * 4
+        rows = _round_up(wwin * c, 8) * pl_ * 4
+        xmask = rows
+        outb = _round_up(c, 8) * pl_ * 4
+        coeff = 8 * pl_ * 4
         if (a + win + rows + xmask + outb + coeff) * 2 < _VMEM_BUDGET:
             return th
     return None
@@ -72,37 +73,121 @@ def warp2d_pallas_supported(img_shape: tuple, r: int = 16) -> bool:
     return _pick_tile(h, w, c, r) is not None
 
 
+def _onehots(coef, p, thwin, wwin, c):
+    """Shared one-hot builders; coef block [1,1,4,P] → masks with P on lanes."""
+    iy0 = coef[0:1, :]  # [1, P]
+    ay = coef[1:2, :]
+    ix0 = coef[2:3, :]
+    ax = coef[3:4, :]
+    q = jax.lax.broadcasted_iota(jnp.int32, (thwin, p), 0).astype(jnp.float32)
+    oh_y_lo = jnp.where(q == iy0, 1.0, 0.0)
+    oh_y_hi = jnp.where(q == iy0 + 1.0, 1.0, 0.0)
+    a_t = oh_y_lo * (1.0 - ay) + oh_y_hi * ay  # [THwin, P]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (wwin * c, p), 0)
+    col = (sub // c).astype(jnp.float32)
+    oh_x_lo = jnp.where(col == ix0, 1.0, 0.0)
+    oh_x_hi = jnp.where(col == ix0 + 1.0, 1.0, 0.0)
+    x_t = oh_x_lo * (1.0 - ax) + oh_x_hi * ax  # [Wwin*C, P]
+    return a_t, x_t, (oh_y_lo, oh_y_hi, oh_x_lo, oh_x_hi), sub
+
+
 def _warp_kernel(thwin: int, wwin: int, c: int, win_ref, coef_ref, out_ref):
-    """win [1,1,THwin,Wwin*C]; coef [1,1,P,4] = (iy0, ay, ix0, ax) window
-    coords; out [1,1,P,C].  Effectively 2-D per block — no lane-crossing
-    reshapes; one MXU matmul + one masked lane reduction."""
-    p = coef_ref.shape[2]
+    """win [1,1,THwin,Wwin*C]; coef [1,1,4,P]; out [1,1,C,P]."""
+    p = coef_ref.shape[3]
     coef = coef_ref[0, 0]
-    iy0 = coef[:, 0:1]
-    ay = coef[:, 1:2]
-    ix0 = coef[:, 2:3]
-    ax = coef[:, 3:4]
-
-    q = jax.lax.broadcasted_iota(jnp.int32, (p, thwin), 1).astype(jnp.float32)
-    a_mat = jnp.where(q == iy0, 1.0 - ay, 0.0) + jnp.where(q == iy0 + 1.0, ay, 0.0)
-
-    win = win_ref[0, 0].astype(jnp.float32)
-    rows = jnp.dot(a_mat, win, preferred_element_type=jnp.float32)  # [P, Wwin*C]
-
-    # x one-hot, channel-repeated: column index of lane l is l // C
-    col = (jax.lax.broadcasted_iota(jnp.int32, (p, wwin * c), 1) // c).astype(
-        jnp.float32
-    )
-    x_mat = jnp.where(col == ix0, 1.0 - ax, 0.0) + jnp.where(col == ix0 + 1.0, ax, 0.0)
-
-    prod = rows * x_mat  # [P, Wwin*C]
+    a_t, x_t, _, sub = _onehots(coef, p, thwin, wwin, c)
+    win = win_ref[0, 0].astype(jnp.float32)  # [THwin, Wwin*C]
+    rows_t = jax.lax.dot_general(
+        win, a_t, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Wwin*C, P]
+    prod = rows_t * x_t
     if c == 1:
-        out_ref[0, 0, :, 0] = jnp.sum(prod, axis=1)
+        out_ref[0, 0, 0, :] = jnp.sum(prod, axis=0)
     else:
-        # channel split without lane reshape: mask per channel and reduce
-        ch = jax.lax.broadcasted_iota(jnp.int32, (p, wwin * c), 1) % c
+        ch = sub % c  # [Wwin*C, P] sublane channel ids
         for k in range(c):
-            out_ref[0, 0, :, k] = jnp.sum(jnp.where(ch == k, prod, 0.0), axis=1)
+            out_ref[0, 0, k, :] = jnp.sum(jnp.where(ch == k, prod, 0.0), axis=0)
+
+
+def _bwd_kernel(thwin: int, wwin: int, c: int, win_ref, coef_ref, g_ref,
+                dwin_ref, dcoef_ref):
+    """win [1,1,THwin,Wwin*C]; coef [1,1,4,P]; g [1,1,C,P] →
+    dwin [1,1,THwin,Wwin*C]; dcoef [1,1,2,P] = (dwy, dwx)."""
+    p = coef_ref.shape[3]
+    coef = coef_ref[0, 0]
+    a_t, x_t, (oh_y_lo, oh_y_hi, oh_x_lo, oh_x_hi), sub = _onehots(
+        coef, p, thwin, wwin, c
+    )
+    win = win_ref[0, 0].astype(jnp.float32)
+    g = g_ref[0, 0].astype(jnp.float32)  # [C, P]
+
+    if c == 1:
+        g_cols = g[0:1, :]  # broadcast over sublanes
+        gx_t = x_t * g_cols
+    else:
+        ch = sub % c
+        gx_t = jnp.zeros((wwin * c, p), jnp.float32)
+        for k in range(c):
+            gx_t = gx_t + jnp.where(ch == k, x_t * g[k : k + 1, :], 0.0)
+
+    # dwin [THwin, Wwin*C] = A @ GXᵀ → contract P
+    dwin_ref[0, 0] = jax.lax.dot_general(
+        a_t, gx_t, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # dA_T [THwin, P] = win @ GX_T (contract window columns)
+    d_a_t = jax.lax.dot_general(
+        win, gx_t, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dcoef_ref[0, 0, 0, :] = jnp.sum(d_a_t * (oh_y_hi - oh_y_lo), axis=0)
+
+    rows_t = jax.lax.dot_general(
+        win, a_t, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if c == 1:
+        rows_g = rows_t * g[0:1, :]
+    else:
+        ch = sub % c
+        rows_g = jnp.zeros((wwin * c, p), jnp.float32)
+        for k in range(c):
+            rows_g = rows_g + jnp.where(ch == k, rows_t * g[k : k + 1, :], 0.0)
+    dcoef_ref[0, 0, 1, :] = jnp.sum(rows_g * (oh_x_hi - oh_x_lo), axis=0)
+
+
+def _prep(img, flow, r, th):
+    """Shared XLA-side prep: padded windows + transposed flattened coords."""
+    b, h, w, c = img.shape
+    margin = r + 1
+    thwin = th + 2 * margin
+    p = th * w
+    n_chunks = h // th
+
+    img_pad = jnp.pad(
+        img, [(0, 0), (margin, margin), (margin, margin), (0, 0)], mode="edge"
+    )
+    flow_f = jnp.clip(flow.astype(jnp.float32), -r, r)
+    row_local = jax.lax.broadcasted_iota(jnp.float32, (1, n_chunks, th, w), 2)
+    col_local = jax.lax.broadcasted_iota(jnp.float32, (1, n_chunks, th, w), 3)
+    fl = flow_f.reshape(b, n_chunks, th, w, 2)
+    wy = row_local + margin + fl[..., 0]
+    wx = col_local + margin + fl[..., 1]
+    iy0 = jnp.floor(wy)
+    ix0 = jnp.floor(wx)
+    coefs = jnp.stack([iy0, wy - iy0, ix0, wx - ix0], axis=2).reshape(
+        b, n_chunks, 4, p
+    )
+    windows = jnp.stack(
+        [
+            jax.lax.slice_in_dim(img_pad, j * th, j * th + thwin, axis=1)
+            for j in range(n_chunks)
+        ],
+        axis=1,
+    ).reshape(b, n_chunks, thwin, (w + 2 * margin) * c)
+    return windows, coefs, flow_f
 
 
 def _forward(img, flow, r, padding):
@@ -115,44 +200,19 @@ def _forward(img, flow, r, padding):
     wwin = w + 2 * margin
     p = th * w
     n_chunks = h // th
-
-    img_pad = jnp.pad(
-        img, [(0, 0), (margin, margin), (margin, margin), (0, 0)], mode="edge"
-    )
-
-    # XLA-side prep: window coords flattened to [B, n_chunks, P, 4] and the
-    # (overlapping) row windows [B, n_chunks, THwin, Wwin*C] — both consumed
-    # blockwise by a (B, n_chunks) kernel grid.
-    flow_f = jnp.clip(flow.astype(jnp.float32), -r, r)
-    row_local = jax.lax.broadcasted_iota(jnp.float32, (1, n_chunks, th, w), 2)
-    col_local = jax.lax.broadcasted_iota(jnp.float32, (1, n_chunks, th, w), 3)
-    fl = flow_f.reshape(b, n_chunks, th, w, 2)
-    wy = row_local + margin + fl[..., 0]
-    wx = col_local + margin + fl[..., 1]
-    iy0 = jnp.floor(wy)
-    ix0 = jnp.floor(wx)
-    coefs = jnp.stack([iy0, wy - iy0, ix0, wx - ix0], axis=-1).reshape(
-        b, n_chunks, p, 4
-    )
-    windows = jnp.stack(
-        [
-            jax.lax.slice_in_dim(img_pad, j * th, j * th + thwin, axis=1)
-            for j in range(n_chunks)
-        ],
-        axis=1,
-    ).reshape(b, n_chunks, thwin, wwin * c)
+    windows, coefs, flow_f = _prep(img, flow, r, th)
 
     out = pl.pallas_call(
         partial(_warp_kernel, thwin, wwin, c),
-        out_shape=jax.ShapeDtypeStruct((b, n_chunks, p, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_chunks, c, p), jnp.float32),
         grid=(b, n_chunks),
         in_specs=[
             pl.BlockSpec((1, 1, thwin, wwin * c), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p, 4), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, 4, p), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, p, c), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, c, p), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n_chunks * p * thwin * wwin * c,
@@ -160,9 +220,15 @@ def _forward(img, flow, r, padding):
             transcendentals=0,
         ),
     )(windows, coefs)
-    out = out.reshape(b, h, w, c)
+    # [B, n_chunks, C, P] → [B, H, W, C]
+    out = jnp.moveaxis(out.reshape(b, n_chunks, c, th, w), 2, 4).reshape(
+        b, h, w, c
+    )
 
     if padding == "zeros":
+        # Convert border (edge-clamped) values to zeros semantics: the clamped
+        # corner equals its in-bounds twin at the boundary, so scaling by the
+        # per-axis in-bounds weight fraction is exact.
         def axis_weight(s, size):
             lo = jnp.floor(s)
             frac = s - lo
@@ -178,65 +244,6 @@ def _forward(img, flow, r, padding):
     return out.astype(img.dtype)
 
 
-def _bwd_kernel(thwin: int, wwin: int, c: int, win_ref, coef_ref, g_ref,
-                dwin_ref, dcoef_ref):
-    """Fused backward: dwin = Aᵀ @ (G⊙X); dwy/dwx via derivative one-hots.
-
-    win [1,1,THwin,Wwin*C]; coef [1,1,P,4]; g [1,1,P,C] →
-    dwin [1,1,THwin,Wwin*C]; dcoef [1,1,P,2] = (dwy, dwx).
-    """
-    p = coef_ref.shape[2]
-    coef = coef_ref[0, 0]
-    iy0, ay = coef[:, 0:1], coef[:, 1:2]
-    ix0, ax = coef[:, 2:3], coef[:, 3:4]
-    g = g_ref[0, 0].astype(jnp.float32)  # [P, C]
-    win = win_ref[0, 0].astype(jnp.float32)  # [THwin, Wwin*C]
-
-    q = jax.lax.broadcasted_iota(jnp.int32, (p, thwin), 1).astype(jnp.float32)
-    oh_y_lo = jnp.where(q == iy0, 1.0, 0.0)
-    oh_y_hi = jnp.where(q == iy0 + 1.0, 1.0, 0.0)
-    a_mat = oh_y_lo * (1.0 - ay) + oh_y_hi * ay
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (p, wwin * c), 1)
-    col = (lane // c).astype(jnp.float32)
-    oh_x_lo = jnp.where(col == ix0, 1.0, 0.0)
-    oh_x_hi = jnp.where(col == ix0 + 1.0, 1.0, 0.0)
-    x_mat = oh_x_lo * (1.0 - ax) + oh_x_hi * ax
-
-    if c == 1:
-        g_cols = g[:, 0:1]  # broadcast over lanes
-        gx = x_mat * g_cols
-    else:
-        ch = lane % c
-        gx = jnp.zeros((p, wwin * c), jnp.float32)
-        for k in range(c):
-            gx = gx + jnp.where(ch == k, x_mat * g[:, k : k + 1], 0.0)
-
-    # dwin = Aᵀ @ GX  (contract P)
-    dwin_ref[0, 0] = jax.lax.dot_general(
-        a_mat, gx, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    # dA = GX @ winᵀ (contract window columns) → dwy via (hi − lo) one-hots
-    d_a = jax.lax.dot_general(
-        gx, win, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [P, THwin]
-    dcoef_ref[0, 0, :, 0] = jnp.sum(d_a * (oh_y_hi - oh_y_lo), axis=1)
-
-    # rows = A @ win; dX = rows ⊙ G_cols → dwx via x (hi − lo) one-hots
-    rows = jnp.dot(a_mat, win, preferred_element_type=jnp.float32)
-    if c == 1:
-        rows_g = rows * g[:, 0:1]
-    else:
-        ch = lane % c
-        rows_g = jnp.zeros((p, wwin * c), jnp.float32)
-        for k in range(c):
-            rows_g = rows_g + jnp.where(ch == k, rows * g[:, k : k + 1], 0.0)
-    dcoef_ref[0, 0, :, 1] = jnp.sum(rows_g * (oh_x_hi - oh_x_lo), axis=1)
-
-
 def _backward_fused(img, flow, r, g):
     """Border-mode fused backward pass (same tiling as the forward)."""
     b, h, w, c = img.shape
@@ -246,54 +253,36 @@ def _backward_fused(img, flow, r, g):
     wwin = w + 2 * margin
     p = th * w
     n_chunks = h // th
-
-    img_pad = jnp.pad(
-        img, [(0, 0), (margin, margin), (margin, margin), (0, 0)], mode="edge"
-    )
-    flow_f = jnp.clip(flow.astype(jnp.float32), -r, r)
-    row_local = jax.lax.broadcasted_iota(jnp.float32, (1, n_chunks, th, w), 2)
-    col_local = jax.lax.broadcasted_iota(jnp.float32, (1, n_chunks, th, w), 3)
-    fl = flow_f.reshape(b, n_chunks, th, w, 2)
-    wy = row_local + margin + fl[..., 0]
-    wx = col_local + margin + fl[..., 1]
-    iy0 = jnp.floor(wy)
-    ix0 = jnp.floor(wx)
-    coefs = jnp.stack([iy0, wy - iy0, ix0, wx - ix0], axis=-1).reshape(
-        b, n_chunks, p, 4
-    )
-    windows = jnp.stack(
-        [
-            jax.lax.slice_in_dim(img_pad, j * th, j * th + thwin, axis=1)
-            for j in range(n_chunks)
-        ],
-        axis=1,
-    ).reshape(b, n_chunks, thwin, wwin * c)
-    g4 = g.astype(jnp.float32).reshape(b, n_chunks, p, c)
+    windows, coefs, flow_f = _prep(img, flow, r, th)
+    # cotangent → [B, n_chunks, C, P]
+    g4 = jnp.moveaxis(
+        g.astype(jnp.float32).reshape(b, n_chunks, th, w, c), 4, 2
+    ).reshape(b, n_chunks, c, p)
 
     dwin, dcoef = pl.pallas_call(
         partial(_bwd_kernel, thwin, wwin, c),
         out_shape=(
             jax.ShapeDtypeStruct((b, n_chunks, thwin, wwin * c), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_chunks, p, 2), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_chunks, 2, p), jnp.float32),
         ),
         grid=(b, n_chunks),
         in_specs=[
             pl.BlockSpec((1, 1, thwin, wwin * c), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p, 4), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, 4, p), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p, c), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, c, p), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, thwin, wwin * c), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p, 2), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, 2, p), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
     )(windows, coefs, g4)
 
-    # overlap-add the window grads back into the padded image, then fold the
+    # overlap-add the window grads into the padded image, then fold the
     # edge-padding adjoint (margins accumulate onto the border pixels)
     dwin = dwin.reshape(b, n_chunks, thwin, wwin, c)
     dimg_pad = jnp.zeros((b, h + 2 * margin, w + 2 * margin, c), jnp.float32)
@@ -305,7 +294,6 @@ def _backward_fused(img, flow, r, g):
             j * th,
             axis=1,
         )
-    # pad-adjoint: rows/cols in the margins flow to the nearest edge pixel
     top = jnp.sum(dimg_pad[:, : margin + 1], axis=1, keepdims=True)
     bot = jnp.sum(dimg_pad[:, -(margin + 1) :], axis=1, keepdims=True)
     mid = dimg_pad[:, margin + 1 : -(margin + 1)]
@@ -316,7 +304,9 @@ def _backward_fused(img, flow, r, g):
         [left, dimg_rows[:, :, margin + 1 : -(margin + 1)], right], axis=2
     )
 
-    dcoef = dcoef.reshape(b, n_chunks, th, w, 2).reshape(b, h, w, 2)
+    dcoef = jnp.moveaxis(dcoef.reshape(b, n_chunks, 2, th, w), 2, 4).reshape(
+        b, h, w, 2
+    )
     # clip adjoint: zero gradient where the displacement was clamped
     inside = (jnp.abs(flow.astype(jnp.float32)) < r).astype(jnp.float32)
     dflow = dcoef * inside
@@ -355,3 +345,13 @@ def _bwd(r, padding, res, g):
 
 
 backward_warp_pallas.defvjp(_fwd, _bwd)
+
+
+def backward_warp3d_bounded(
+    img: jax.Array, flow: jax.Array, r_z: int = 8, r_yx: int = 16,
+    padding: str = "border",
+) -> jax.Array:
+    """Deprecated alias — use ``ops.warp.backward_warp3d_slab(r_yx=...)``."""
+    from opticalflowscivis_tpu.ops.warp import backward_warp3d_slab
+
+    return backward_warp3d_slab(img, flow, r_z=r_z, padding=padding, r_yx=r_yx)
