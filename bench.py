@@ -137,6 +137,13 @@ def main():
         )
     except Exception as e:  # noqa: BLE001
         details["rife3d_inference_64cube_vols_per_sec"] = f"error: {e}"
+    if jax.default_backend() == "tpu":  # 256^3 headline (slow on CPU)
+        try:
+            details["rife3d_inference_256cube_vols_per_sec"] = round(
+                bench_rife3d_inference(256, batch=1), 3
+            )
+        except Exception as e:  # noqa: BLE001
+            details["rife3d_inference_256cube_vols_per_sec"] = f"error: {e}"
     try:
         details["rife2d_train_128x128_pairs_per_sec"] = round(bench_train_step(), 2)
     except Exception as e:  # noqa: BLE001

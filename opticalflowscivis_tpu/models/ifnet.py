@@ -255,8 +255,8 @@ def ifnet_3d(in_channels: int = 1, dtype: Any = None, **kw) -> IFNet:
     per 256^3 volume on TPU; pass ``bounded_warp_rz=0`` for the exact
     unbounded-gather path.
     """
-    kw.setdefault("bounded_warp_rz", 10)
-    kw.setdefault("fast_warp_r", 16)
+    kw.setdefault("bounded_warp_rz", 8)  # data velocities <= 8 (create_data_3d.py:56)
+    kw.setdefault("fast_warp_r", 8)  # in-plane bound; smaller r = bigger tiles
     return IFNet(ndim=3, in_channels=in_channels,
                  block_channels=(128, 64, 64), teacher_channels=64,
                  conv0_kernel=4, dtype=dtype, **kw)

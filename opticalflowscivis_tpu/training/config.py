@@ -48,7 +48,8 @@ class ModelConfig:
 
     @staticmethod
     def preset_3d(**kw) -> "ModelConfig":
-        kw.setdefault("bounded_warp_rz", 10)  # covers |velocity| <= 8 + margin
+        kw.setdefault("bounded_warp_rz", 8)  # data velocities <= 8 px/step
+        kw.setdefault("fast_warp_r", 8)
         return ModelConfig(ndim=3, block_channels=(128, 64, 64), conv0_kernel=4, **kw)
 
 
