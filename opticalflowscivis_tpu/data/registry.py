@@ -208,6 +208,20 @@ def _split_or_fraction(data: np.ndarray, slices: Slices, which: str) -> np.ndarr
 def _prepare(spec: DatasetSpec, data: np.ndarray, slices: Slices, exp: int,
              augment: bool, which: str = "train") -> np.ndarray:
     sub = _split_or_fraction(data, slices, which)
+    if spec.ndim == 2 and sub.ndim == 4:
+        # native fused path (csrc/fastprep.cpp): bit-equal, ~40x faster
+        from opticalflowscivis_tpu.data.fastprep import (
+            fastprep_available,
+            prepare_tuples_native,
+        )
+
+        if fastprep_available():
+            return prepare_tuples_native(
+                sub,
+                exp=exp,
+                resample_stride=spec.resample_stride or 1,
+                flip_axes=2 if (augment and spec.flip_aug) else 0,
+            )
     if spec.resample_stride:
         sub = temporal_resample(sub, spec.resample_stride)
     if augment and spec.flip_aug:
