@@ -16,7 +16,12 @@ Reference parity map (file:line cites are into /root/reference):
 - ssim.ssim               ⇔ Flow-2D/model/pytorch_msssim/__init__.py, error.py:36-76.
 """
 
-from opticalflowscivis_tpu.ops.warp import backward_warp, boundary_dilated_warp, multilinear_sample
+from opticalflowscivis_tpu.ops.warp import (
+    backward_warp,
+    backward_warp3d_slab,
+    boundary_dilated_warp,
+    multilinear_sample,
+)
 from opticalflowscivis_tpu.ops.resize import resize_like, resize_spatial, resize_flow, upsample_flow_as
 from opticalflowscivis_tpu.ops.pyramid import gaussian_blur, laplacian_pyramid, lap_loss
 from opticalflowscivis_tpu.ops.correlation import cost_volume
@@ -25,7 +30,8 @@ from opticalflowscivis_tpu.ops.occlusion import occ_check
 from opticalflowscivis_tpu.ops.ssim import ssim, ssim_matlab
 
 __all__ = [
-    "backward_warp", "boundary_dilated_warp", "multilinear_sample",
+    "backward_warp", "backward_warp3d_slab", "boundary_dilated_warp",
+    "multilinear_sample",
     "resize_like", "resize_spatial", "resize_flow", "upsample_flow_as",
     "gaussian_blur", "laplacian_pyramid", "lap_loss",
     "cost_volume",
