@@ -45,16 +45,23 @@ def temporal_resample(data: np.ndarray, stride: int = 3) -> np.ndarray:
     return np.concatenate([data[s::stride] for s in range(stride)], axis=0)
 
 
-def flip_augment(data: np.ndarray, flow_channels: bool = True) -> np.ndarray:
-    """Append copies mirrored along each spatial axis (axes 1..ndim of [T,*S,C]).
+def flip_augment(
+    data: np.ndarray, flow_channels: bool = True, n_axes: int | None = None
+) -> np.ndarray:
+    """Append copies mirrored along spatial axes (axes 1.. of [T,*S,C]).
 
+    ``n_axes`` limits how many leading spatial axes are mirrored — the
+    reference flips exactly TWO axes in both 2-D and 3-D (load_datasets.py:
+    246-252; Flow-3D/load_datasets.py:147-152), so 3-D volumes get x4, not x8.
     With ``flow_channels`` the flow component along the flipped axis is negated
     (flow channel i corresponds to spatial axis i, row-major).
     """
     ndim = data.ndim - 2
+    if n_axes is None:
+        n_axes = min(ndim, 2)
     has_flow = flow_channels and data.shape[-1] == 1 + ndim
     out = data
-    for axis in range(ndim):
+    for axis in range(n_axes):
         flipped = np.flip(out, axis=1 + axis).copy()
         if has_flow:
             flipped[..., 1 + axis] *= -1.0
