@@ -28,13 +28,18 @@
 namespace {
 
 struct Spec {
-  const float* src;  // [T, H, W, C]
-  float* dst;        // [n_tuples, slots, H, W, C]
+  // Frames are [T, H, W, C] where for volumetric data the trailing spatial
+  // axes fold into the "row" unit: a [T, Z, Y, X, Creal] volume maps to
+  // H=Z, W=Y, C=X*Creal — the two flipped axes are always (H, W), matching
+  // the reference (2 flips in both 2-D and 3-D).
+  const float* src;
+  float* dst;  // [n_tuples, slots, H, W, C]
   int64_t T, H, W, C;
+  int64_t c_real;       // true channel count (for flow-sign negation)
   int resample_stride;  // 0/1 = off
   int flip_axes;        // number of spatial axes augmented (0..2)
   int exp;              // tuple run = 2^exp + 1
-  bool negate_flow;     // flow channels present (C == 1 + ndim)
+  bool negate_flow;     // flow channels present (c_real == 1 + ndim)
   int64_t n_aug;        // frames after resample+flips
   int64_t run, n_tuples;
 };
@@ -94,11 +99,13 @@ void copy_frame(const Spec& s, int64_t src_frame, bool flip_y, bool flip_x,
     }
   }
   if (s.negate_flow && (flip_y || flip_x)) {
+    // flipping spatial axis i negates flow channel 1+i of every c_real group
+    const int64_t row_len = s.W * s.C;
     for (int64_t y = 0; y < s.H; ++y) {
-      float* orow = out + y * s.W * s.C;
-      for (int64_t x = 0; x < s.W; ++x) {
-        if (flip_y) orow[x * s.C + 1] = -orow[x * s.C + 1];
-        if (flip_x && s.C > 2) orow[x * s.C + 2] = -orow[x * s.C + 2];
+      float* orow = out + y * row_len;
+      for (int64_t g = 0; g + s.c_real <= row_len; g += s.c_real) {
+        if (flip_y) orow[g + 1] = -orow[g + 1];
+        if (flip_x && s.c_real > 2) orow[g + 2] = -orow[g + 2];
       }
     }
   }
@@ -126,9 +133,9 @@ extern "C" {
 // Returns the number of output tuples, or -1 on invalid arguments.
 // dst must hold n_tuples * (2^exp + 1) * H * W * C floats.
 int64_t fastprep_tuples(const float* src, float* dst, int64_t T, int64_t H,
-                        int64_t W, int64_t C, int resample_stride,
-                        int flip_axes, int exp, int negate_flow,
-                        int n_threads) {
+                        int64_t W, int64_t C, int64_t c_real,
+                        int resample_stride, int flip_axes, int exp,
+                        int negate_flow, int n_threads) {
   if (!src || !dst || T <= 0 || exp < 1 || exp > 4) return -1;
   Spec s;
   s.src = src;
@@ -137,6 +144,7 @@ int64_t fastprep_tuples(const float* src, float* dst, int64_t T, int64_t H,
   s.H = H;
   s.W = W;
   s.C = C;
+  s.c_real = c_real > 0 ? c_real : C;
   s.resample_stride = resample_stride;
   s.flip_axes = flip_axes;
   s.exp = exp;

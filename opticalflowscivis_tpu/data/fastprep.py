@@ -38,6 +38,7 @@ def _load():
     lib.fastprep_tuples.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.fastprep_count.restype = ctypes.c_int64
@@ -62,25 +63,29 @@ def prepare_tuples_native(
     negate_flow: bool | None = None,
     n_threads: int = 0,
 ) -> np.ndarray:
-    """Fused resample+flip+group: ``[T, H, W, C] → [N, slots, H, W, C]``.
+    """Fused resample+flip+group: ``[T, *spatial, C] → [N, slots, *spatial, C]``.
 
-    Equivalent to ``group_tuples(flip_augment(temporal_resample(data)))`` for
-    2-D data (the numpy path remains the oracle and rank-generic fallback).
+    Equivalent to ``group_tuples(flip_augment(temporal_resample(data)))`` —
+    the numpy path is the oracle and fallback.  Both 2-D ``[T, H, W, C]`` and
+    3-D ``[T, Z, Y, X, C]`` are supported; flips always mirror the first two
+    spatial axes (reference behaviour in both ranks).
     """
     data = np.ascontiguousarray(data, np.float32)
-    t, h, w, c = data.shape
-    ndim = 2
+    ndim = data.ndim - 2
+    c_real = data.shape[-1]
     if negate_flow is None:
-        negate_flow = c == 1 + ndim
+        negate_flow = c_real == 1 + ndim
+    t, a, b_axis = data.shape[0], data.shape[1], data.shape[2]
+    inner = int(np.prod(data.shape[3:]))  # trailing spatial axes x channels
     lib = _load()
     n = int(lib.fastprep_count(t, flip_axes, exp))
     run = 2**exp + 1
-    out = np.empty((n, run, h, w, c), np.float32)
+    out = np.empty((n, run) + data.shape[1:], np.float32)
     got = lib.fastprep_tuples(
         data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        t, h, w, c, resample_stride, flip_axes, exp, int(negate_flow),
-        n_threads,
+        t, a, b_axis, inner, c_real, resample_stride, flip_axes, exp,
+        int(negate_flow), n_threads,
     )
     if got != n:
         raise RuntimeError(f"fastprep returned {got}, expected {n}")

@@ -208,7 +208,7 @@ def _split_or_fraction(data: np.ndarray, slices: Slices, which: str) -> np.ndarr
 def _prepare(spec: DatasetSpec, data: np.ndarray, slices: Slices, exp: int,
              augment: bool, which: str = "train") -> np.ndarray:
     sub = _split_or_fraction(data, slices, which)
-    if spec.ndim == 2 and sub.ndim == 4:
+    if sub.ndim in (4, 5):
         # native fused path (csrc/fastprep.cpp): bit-equal, ~40x faster
         from opticalflowscivis_tpu.data.fastprep import (
             fastprep_available,

@@ -49,3 +49,11 @@ def test_registry_prepare_native_equals_numpy():
     finally:
         fp.fastprep_available = orig
     assert np.array_equal(native, ref)
+
+def test_native_3d_matches_numpy():
+    from opticalflowscivis_tpu.data import rectangle_3d
+
+    vol = rectangle_3d(n_frames=60, grid=(16, 16, 16), box=(6, 8, 6), seed=7)
+    ref = group_tuples(flip_augment(vol), 1)  # 3-D path: no temporal resample
+    out = prepare_tuples_native(vol, resample_stride=1, flip_axes=2)
+    assert np.array_equal(ref, out)
