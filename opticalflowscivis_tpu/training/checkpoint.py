@@ -14,8 +14,17 @@ import jax
 import orbax.checkpoint as ocp
 
 
+_CHECKPOINTER: ocp.PyTreeCheckpointer | None = None
+
+
 def _checkpointer() -> ocp.PyTreeCheckpointer:
-    return ocp.PyTreeCheckpointer()
+    # One process-wide checkpointer: constructing a fresh PyTreeCheckpointer
+    # per save leaks worker threads/memory over long runs (trainer processes
+    # died silently after ~70-90 epochs before this was shared).
+    global _CHECKPOINTER
+    if _CHECKPOINTER is None:
+        _CHECKPOINTER = ocp.PyTreeCheckpointer()
+    return _CHECKPOINTER
 
 
 def save_state(path: str, state: Any) -> None:
