@@ -33,12 +33,19 @@ def calculate_psnr(img1: np.ndarray, img2: np.ndarray, data_range: float = 255.0
 
 
 def calculate_ssim(img1: np.ndarray, img2: np.ndarray) -> float:
-    """MATLAB-protocol SSIM on 255-range images (any spatial rank)."""
+    """MATLAB-protocol SSIM on 255-range images.
+
+    Accepts [H, W], [H, W, C] (C <= 4 treated as channels), [B, *S] or
+    [B, *S, C] — normalized to the channels-last batched layout.
+    """
     a = jnp.asarray(img1, jnp.float32)
     b = jnp.asarray(img2, jnp.float32)
-    while a.ndim < 4:  # [B, *S, C]
-        a = a[None] if a.ndim < 3 else a[..., None]
-        b = b[None] if b.ndim < 3 else b[..., None]
+    if a.ndim == 2:  # [H, W]
+        a, b = a[None, ..., None], b[None, ..., None]
+    elif a.ndim == 3 and a.shape[-1] <= 4:  # [H, W, C]
+        a, b = a[None], b[None]
+    elif a.ndim == 3:  # [B/T, H, W]
+        a, b = a[..., None], b[..., None]
     return float(ssim_matlab(a, b))
 
 
