@@ -165,6 +165,9 @@ def cmd_inference_img(argv):
     p.add_argument("--n_exp", type=int, default=1, help="insert 2**n_exp - 1 frames")
     p.add_argument("--ratio", type=float, default=0.0,
                    help="single frame at this time ratio (0 = use n_exp)")
+    p.add_argument("--zoo_dir", default="",
+                   help="pretrained RIFE HD/HDv2/HDv3 checkpoint dir (torch "
+                        "pkl files) instead of a framework checkpoint")
     args = p.parse_args(argv)
     _maybe_cpu(args)
 
@@ -173,17 +176,21 @@ def cmd_inference_img(argv):
         Interpolator,
         interpolate_ratio,
         interpolate_recursive,
+        load_pretrained_zoo,
     )
     from opticalflowscivis_tpu.training import Trainer
 
     img0 = load_image(args.img0)
     img1 = load_image(args.img1)
-    cfg = _build_cfg(args, epochs=1)
-    tr = Trainer(cfg)
-    sample = np.stack([img0, img1, img0])[None]
-    tr.init_state(sample, total_steps=1)
-    tr.load_checkpoint()
-    interp = Interpolator(tr.model, tr.state.params, cfg.pad_multiple)
+    if args.zoo_dir:
+        interp = load_pretrained_zoo(args.zoo_dir)
+    else:
+        cfg = _build_cfg(args, epochs=1)
+        tr = Trainer(cfg)
+        sample = np.stack([img0, img1, img0])[None]
+        tr.init_state(sample, total_steps=1)
+        tr.load_checkpoint()
+        interp = Interpolator(tr.model, tr.state.params, cfg.pad_multiple)
     if args.ratio > 0:
         mids = [interpolate_ratio(interp, img0[None], img1[None], args.ratio)]
     else:
@@ -204,6 +211,9 @@ def cmd_inference_video(argv):
     p.add_argument("--max_frames", type=int, default=0,
                    help="limit test frames (0 = all)")
     p.add_argument("--write_mp4", action="store_true")
+    p.add_argument("--zoo_dir", default="",
+                   help="pretrained RIFE HD/HDv2/HDv3 checkpoint dir (torch "
+                        "pkl files) instead of a framework checkpoint")
     args = p.parse_args(argv)
     _maybe_cpu(args)
 
@@ -214,7 +224,11 @@ def cmd_inference_video(argv):
         calculate_metrics,
         linear_interpolation_baseline,
     )
-    from opticalflowscivis_tpu.inference import Interpolator, interpolate_series
+    from opticalflowscivis_tpu.inference import (
+        Interpolator,
+        interpolate_series,
+        load_pretrained_zoo,
+    )
     from opticalflowscivis_tpu.training import Trainer
 
     cfg = _build_cfg(args, epochs=1)
@@ -223,11 +237,14 @@ def cmd_inference_video(argv):
     if args.max_frames:
         frames = frames[: args.max_frames]
 
-    tr = Trainer(cfg)
-    sample = np.stack([frames[0], frames[1], frames[0]])[None]
-    tr.init_state(sample, total_steps=1)
-    tr.load_checkpoint()
-    interp = Interpolator(tr.model, tr.state.params, cfg.pad_multiple)
+    if args.zoo_dir:
+        interp = load_pretrained_zoo(args.zoo_dir)
+    else:
+        tr = Trainer(cfg)
+        sample = np.stack([frames[0], frames[1], frames[0]])[None]
+        tr.init_state(sample, total_steps=1)
+        tr.load_checkpoint()
+        interp = Interpolator(tr.model, tr.state.params, cfg.pad_multiple)
 
     results = {}
     for factor in [int(f) for f in args.factors.split(",")]:

@@ -127,3 +127,90 @@ def bench_latency(
         best = min(best, (time.perf_counter() - t0) / iters)
     return {"mean_latency_ms": round(best * 1000, 3),
             "pairs_per_sec": round(1.0 / best, 2)}
+
+
+# ---- HD yuv benchmarks (benchmark/HD.py, HD_multi_4X.py) -------------------
+
+HD_NAME_LIST = [
+    ("HD_dataset/HD720p_GT/parkrun_1280x720_50.yuv", 720, 1280),
+    ("HD_dataset/HD720p_GT/shields_1280x720_60.yuv", 720, 1280),
+    ("HD_dataset/HD720p_GT/stockholm_1280x720_60.yuv", 720, 1280),
+    ("HD_dataset/HD1080p_GT/BlueSky.yuv", 1080, 1920),
+    ("HD_dataset/HD1080p_GT/Kimono1_1920x1080_24.yuv", 1080, 1920),
+    ("HD_dataset/HD1080p_GT/ParkScene_1920x1080_24.yuv", 1080, 1920),
+    ("HD_dataset/HD1080p_GT/sunflower_1080p25.yuv", 1080, 1920),
+    ("HD_dataset/HD544p_GT/Sintel_Alley2_1280x544.yuv", 544, 1280),
+    ("HD_dataset/HD544p_GT/Sintel_Market5_1280x544.yuv", 544, 1280),
+    ("HD_dataset/HD544p_GT/Sintel_Temple1_1280x544.yuv", 544, 1280),
+    ("HD_dataset/HD544p_GT/Sintel_Temple2_1280x544.yuv", 544, 1280),
+]
+
+
+def _hd_pad(h: int) -> int:
+    """Replication-pad rows so /32 shapes hold (HD.py:65-70)."""
+    return 24 if h == 720 else 4 if h == 1080 else 16
+
+
+def _y_psnr(gt_rgb: np.ndarray, out_rgb: np.ndarray) -> float:
+    """Y-channel PSNR with the reference's 128-offset diff (HD.py:80-83)."""
+    from opticalflowscivis_tpu.data.yuv_io import rgb2yuv
+
+    diff = (rgb2yuv(gt_rgb / 255.0)[..., 0] * 255
+            - rgb2yuv(out_rgb / 255.0)[..., 0] * 255)
+    mse = float(np.mean(diff ** 2))
+    return 20 * math.log10(255.0 / math.sqrt(max(mse, 1e-12)))
+
+
+def bench_hd_yuv(
+    interp, root: str, multi: int = 1, max_index: int = 100,
+    name_list=None,
+) -> dict:
+    """HD yuv suite: 2x midpoint (``multi=1``, HD.py:47-88) or 4x
+    (``multi=2``, HD_multi_4X.py:64-103 non-arbitrary recursive path).
+
+    Frames are replication-padded in rows, interpolated, uint8-rounded, and
+    scored with Y-channel PSNR; the summary groups 544p/720p/1080p means like
+    HD_multi_4X.py:105.
+    """
+    from opticalflowscivis_tpu.inference import interpolate_recursive
+
+    per_seq = {}
+    step = 2 ** multi
+    for name, h, w in (name_list or HD_NAME_LIST):
+        path = os.path.join(root, name)
+        if not os.path.exists(path):
+            continue
+        from opticalflowscivis_tpu.data.yuv_io import YUVReader
+
+        pad = _hd_pad(h)
+        psnrs = []
+        with YUVReader(path, h, w) as reader:
+            for index in range(0, max_index, step):
+                i0, ok0 = reader.read(index)
+                i1, ok1 = reader.read(index + step)
+                if not (ok0 and ok1):
+                    break
+                gts = []
+                for k in range(1, step):
+                    g, okg = reader.read(index + k)
+                    if okg:
+                        gts.append(g)
+                a = np.pad(i0.astype(np.float32) / 255.0,
+                           ((pad, pad), (0, 0), (0, 0)), mode="edge")
+                b = np.pad(i1.astype(np.float32) / 255.0,
+                           ((pad, pad), (0, 0), (0, 0)), mode="edge")
+                mids = interpolate_recursive(interp, a[None], b[None], step - 1)
+                for g, m in zip(gts, mids):
+                    out = np.round(
+                        np.clip(m[0][pad:-pad], 0, 1) * 255).astype(np.uint8)
+                    psnrs.append(_y_psnr(g.astype(np.float64), out))
+        if psnrs:
+            per_seq[name] = round(float(np.mean(psnrs)), 3)
+    groups: dict[str, list] = {}
+    for (name, h, _w) in (name_list or HD_NAME_LIST):
+        if name in per_seq:
+            groups.setdefault(f"{h}p", []).append(per_seq[name])
+    summary = {k: round(float(np.mean(v)), 3) for k, v in groups.items() if v}
+    if per_seq:
+        summary["mean"] = round(float(np.mean(list(per_seq.values()))), 3)
+    return {"per_sequence": per_seq, **summary}

@@ -174,3 +174,115 @@ def batched_pair_inference(
         "mask": np.concatenate(masks),
         "gt": np.concatenate(gts),
     }
+
+
+# ---------------------------------------------------------------------------
+# Pretrained model-zoo loading (RIFE HD / HDv2 / HDv3 fallback chain)
+# ---------------------------------------------------------------------------
+
+
+class ZooInterpolator:
+    """``Interpolator``-compatible wrapper around a pretrained RIFE-zoo model.
+
+    Zoo models are RGB midpoint interpolators: single-channel SciVis frames are
+    tiled to 3 channels on the way in and averaged back on the way out (the
+    reference feeds grayscale frames re-read from RGB mp4s the same way,
+    inference_video.py:308-324).
+    """
+
+    def __init__(self, kind: str, model, params, pad_multiple: int):
+        self.kind = kind
+        self.model = model
+        self.params = params
+        self.pad_multiple = pad_multiple
+        if kind == "hdv3":
+            @jax.jit
+            def _forward(params, img0, img1):
+                out = model.apply(params, img0, img1)
+                return out["merged"][-1], out["flow_list"][-1], out["mask"]
+        else:
+            @jax.jit
+            def _forward(params, img0, img1):
+                return model.inference(params, img0, img1)
+        self._forward = _forward
+
+    _pad = Interpolator._pad
+
+    def pair(self, img0: np.ndarray, img1: np.ndarray, timestep: float = 0.5):
+        if timestep != 0.5:
+            raise ValueError(
+                f"{self.kind} zoo models are midpoint-only interpolators; use "
+                "recursive bisection (interpolate_recursive) for other ratios")
+        p0, orig_shape = self._pad(np.asarray(img0, np.float32))
+        p1, _ = self._pad(np.asarray(img1, np.float32))
+        mono = p0.shape[-1] == 1
+        if mono:
+            p0 = np.tile(p0, (1,) * (p0.ndim - 1) + (3,))
+            p1 = np.tile(p1, (1,) * (p1.ndim - 1) + (3,))
+        merged, flow, mask = self._forward(
+            self.params, jnp.asarray(p0), jnp.asarray(p1))
+        merged = np.asarray(merged, np.float32)
+        if mono:
+            merged = merged.mean(axis=-1, keepdims=True)
+        crop = tuple(slice(0, s) for s in orig_shape[:-1])
+        flow = np.asarray(flow, np.float32)
+        if flow.shape[1:-1] != merged.shape[1:-1]:  # legacy nets: half-res flow
+            from opticalflowscivis_tpu.ops import resize_flow
+
+            flow = np.asarray(resize_flow(jnp.asarray(flow),
+                                          merged.shape[1:-1]), np.float32)
+        mask = np.asarray(mask, np.float32)
+        return (
+            merged[crop + (slice(None),)],
+            flow[crop + (slice(None),)],
+            mask[crop + (slice(None),)],
+        )
+
+
+def load_pretrained_zoo(model_dir: str) -> ZooInterpolator:
+    """Load a pretrained RIFE checkpoint directory, trying newest-first.
+
+    Reference fallback chain (inference_img.py:25-40, inference_video.py:83-98):
+    try RIFE_HDv2, then v3.6 HDv3, then RIFE_HD.  Here detection is structural:
+    a ``contextnet.pkl``/``unet.pkl`` trio means a legacy (v1/v2) checkpoint —
+    distinguished by the flownet key signature — otherwise a lone
+    ``flownet.pkl`` is HDv3.
+    """
+    import os
+
+    trio = all(
+        os.path.exists(os.path.join(model_dir, f))
+        for f in ("flownet.pkl", "contextnet.pkl", "unet.pkl")
+    )
+    if trio:
+        import torch
+
+        from opticalflowscivis_tpu.models.ifnet_hd_legacy import (
+            RIFEHDLegacy,
+            load_torch_rife_hd_legacy,
+        )
+
+        state = torch.load(os.path.join(model_dir, "flownet.pkl"),
+                           map_location="cpu", weights_only=True)
+        ctx = torch.load(os.path.join(model_dir, "contextnet.pkl"),
+                         map_location="cpu", weights_only=True)
+        state = {k.replace("module.", ""): v for k, v in state.items()}
+        ctx = {k.replace("module.", ""): v for k, v in ctx.items()}
+        version = 2 if any("convblock" in k for k in state) else 1
+        # architecture widths read off the checkpoint itself
+        first = "conv0.0.0.weight" if version == 2 else "conv0.0.weight"
+        cs = tuple(int(state[f"block{i}.{first}"].shape[0]) for i in range(4))
+        ctx_first = "conv0.conv1.0.weight" if version == 2 else "conv0.0.weight"
+        c_fusion = int(ctx[ctx_first].shape[0])
+        params = load_torch_rife_hd_legacy(model_dir, version)
+        return ZooInterpolator(
+            f"hdv{version}",
+            RIFEHDLegacy(version=version, c_fusion=c_fusion, cs=cs),
+            params, pad_multiple=64)
+    from opticalflowscivis_tpu.models.ifnet_hd import (
+        IFNetHDv3,
+        load_torch_rife_hdv3,
+    )
+
+    params = load_torch_rife_hdv3(os.path.join(model_dir, "flownet.pkl"))
+    return ZooInterpolator("hdv3", IFNetHDv3(), params, pad_multiple=32)

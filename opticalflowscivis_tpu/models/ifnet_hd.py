@@ -68,6 +68,7 @@ class IFNetHDv3(nn.Module):
 
     dtype: Any = None
     scales: tuple[int, ...] = (4, 2, 1)
+    c: int = 90
 
     @nn.compact
     def __call__(self, img0: jax.Array, img1: jax.Array):
@@ -80,7 +81,7 @@ class IFNetHDv3(nn.Module):
         mask = jnp.zeros((b,) + spatial + (1,), compute)
         warped0, warped1 = img0, img1
         flow_list, mask_list, merged = [], [], []
-        blocks = [IFBlockHD(90, dtype=self.dtype, name=f"block{i}") for i in range(3)]
+        blocks = [IFBlockHD(self.c, dtype=self.dtype, name=f"block{i}") for i in range(3)]
         for i in range(3):
             f0, m0 = blocks[i](
                 jnp.concatenate([warped0[..., :3], warped1[..., :3], mask], -1),
@@ -125,11 +126,42 @@ for _blk in range(4):
         )
 
 
+_FLOW_PERM = (1, 0, 3, 2)  # torch (u0,v0,u1,v1) → row-major (v0,u0,v1,u1)
+
+
+def _permute_flow_channels(params: dict) -> dict:
+    """Reparameterize each block so its flow tensors are row-major (dy,dx).
+
+    Torch RIFE flow channels are (dx,dy) pairs (grid_sample x-first,
+    IFNet_HDv3.py warp calls), while this repo's ``backward_warp`` reads
+    ``flow[..., i]`` as displacement along spatial axis i.  Swapping (a) the
+    output channels of every flow head and (b) the flow-slice input channels of
+    every conv that consumes flow is an exact reparameterization: the network
+    computes identical values with flow carried in (dy,dx) order, so warps and
+    per-axis ``resize_flow`` rescales are correct.
+    """
+    for name, block in params.items():
+        if not name.startswith("block"):
+            continue
+        # conv0's first conv sees [x(7ch) | flow(4ch)] → permute input rows 7..10
+        k = block["ConvPReLU_0"]["Conv_0"]["kernel"]
+        in_perm = list(range(k.shape[2]))
+        in_perm[-4:] = [in_perm[-4 + i] for i in _FLOW_PERM]
+        block["ConvPReLU_0"]["Conv_0"]["kernel"] = k[:, :, jnp.asarray(in_perm), :]
+        # flow head (conv1's final ConvTranspose, 4ch out) → permute outputs
+        head = block["ConvTranspose_0"]
+        head["kernel"] = head["kernel"][..., jnp.asarray(_FLOW_PERM)]
+        head["bias"] = head["bias"][jnp.asarray(_FLOW_PERM)]
+    return params
+
+
 def load_torch_rife_hdv3(path: str) -> dict:
     """Convert an upstream RIFE v3.6 ``flownet.pkl`` into IFNetHDv3 params.
 
     Strips DDP ``module.`` prefixes (RIFE_HDv3.py:49-54).  The teacher block
     (``block_tea``) in the checkpoint is dropped — HDv3 inference never uses it.
+    Flow channels are converted to this repo's row-major (dy,dx) convention —
+    see ``_permute_flow_channels``.
     """
     import torch
 
@@ -164,4 +196,4 @@ def load_torch_rife_hdv3(path: str) -> dict:
         for p in flax_path:
             node = node.setdefault(p, {})
         node[name] = jnp.asarray(arr)
-    return {"params": params}
+    return {"params": _permute_flow_channels(params)}

@@ -56,7 +56,9 @@ def resize_spatial(
         return x
     if align_corners:
         return _resize_align_corners(x, spatial)
-    return jax.image.resize(x, out_shape, method=method)
+    # antialias=False: torch F.interpolate never low-pass-filters on downsample,
+    # and reference parity (verified vs torch to 3e-8) requires matching that.
+    return jax.image.resize(x, out_shape, method=method, antialias=False)
 
 
 def resize_like(x: jax.Array, ref: jax.Array, method: str = "linear",

@@ -1,5 +1,6 @@
 """Eval suite + viz tests: golden PSNR/SSIM values, EPE identity check, panels."""
 
+import os
 import numpy as np
 
 from opticalflowscivis_tpu.evalsuite import (
@@ -102,3 +103,56 @@ def test_viz_smoke(tmp_path):
     plot_loss(str(loss_path), d)
     import os
     assert len(os.listdir(d)) >= 5
+
+
+def test_yuv_io_roundtrip(tmp_path):
+    """YUV420 write → read round-trips RGB to within chroma-subsample error."""
+    from opticalflowscivis_tpu.data.yuv_io import YUVReader, YUVWriter
+
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (32, 48, 3), dtype=np.uint8) for _ in range(3)]
+    # smooth the chroma so 4:2:0 subsampling loses little
+    frames = [np.repeat(np.repeat(f[::2, ::2], 2, 0), 2, 1) for f in frames]
+    path = str(tmp_path / "seq.yuv")
+    with YUVWriter(path) as w:
+        for f in frames:
+            w.write(f)
+    with YUVReader(path, 32, 48) as r:
+        for f in frames:
+            got, ok = r.read()
+            assert ok
+            assert got.shape == (32, 48, 3)
+            assert np.mean(np.abs(got.astype(int) - f.astype(int))) < 6.0
+        _, ok = r.read()
+        assert not ok
+    with YUVReader(path, 32, 48) as r:  # seek path
+        got2, ok = r.read(2)
+        assert ok
+        assert np.mean(np.abs(got2.astype(int) - frames[2].astype(int))) < 6.0
+
+
+def test_bench_hd_yuv_protocol(tmp_path):
+    """bench_hd_yuv runs the HD.py loop on a synthetic yuv with a stub
+    interpolator; a perfect midpoint predictor scores very high Y-PSNR."""
+    from opticalflowscivis_tpu.data.yuv_io import YUVWriter
+    from opticalflowscivis_tpu.evalsuite.benchmarks import bench_hd_yuv
+
+    h, w = 64, 64
+    os.makedirs(tmp_path / "HD_dataset" / "HD544p_GT", exist_ok=True)
+    path = str(tmp_path / "HD_dataset" / "HD544p_GT" / "toy.yuv")
+    t = np.linspace(0, 1, w, dtype=np.float32)
+    with YUVWriter(path) as wr:
+        for i in range(8):
+            ramp = np.clip((t[None, :] + i * 0.05) % 1.0, 0, 1)
+            frame = np.repeat(ramp[..., None], 3, -1)
+            wr.write(np.repeat(frame, h, 0).reshape(h, w, 3) * 255)
+
+    class _LerpInterp:
+        def pair(self, a, b, timestep=0.5):
+            m = (a + b) / 2
+            return m, np.zeros(a.shape[:-1] + (2,), np.float32), m
+
+    res = bench_hd_yuv(_LerpInterp(), str(tmp_path), multi=1, max_index=6,
+                       name_list=[("HD_dataset/HD544p_GT/toy.yuv", h, w)])
+    assert "HD_dataset/HD544p_GT/toy.yuv" in res["per_sequence"]
+    assert res["mean"] > 20.0

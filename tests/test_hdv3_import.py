@@ -81,17 +81,81 @@ def test_block_forward_parity(tmp_path):
     fb = IFBlockHD(c=12)
     fparams = {"params": params["params"]["block0"]}
     x_j = jnp.asarray(x_np.transpose(0, 2, 3, 1))
-    # torch flow channels (u0,v0,u1,v1)=(x,y,...); our convention is row-major.
-    # For a pure numerical-parity check we feed the raw channels and compare
-    # the conv stacks only (the resize/rescale path is exercised at scale=1).
-    fl_j = jnp.asarray(fl_np.transpose(0, 2, 3, 1))
+    # the converter reparameterizes flow channels from torch (u,v) x-first order
+    # to this repo's row-major (dy,dx): feed permuted flow, expect permuted flow.
+    perm = [1, 0, 3, 2]
+    fl_j = jnp.asarray(fl_np.transpose(0, 2, 3, 1))[..., perm]
     ff, fm = fb.apply(fparams, x_j, fl_j, 1)
     np.testing.assert_allclose(
-        np.asarray(ff).transpose(0, 3, 1, 2), tf_flow.numpy(), atol=2e-4
+        np.asarray(ff[..., perm]).transpose(0, 3, 1, 2), tf_flow.numpy(), atol=2e-4
     )
     np.testing.assert_allclose(
         np.asarray(fm).transpose(0, 3, 1, 2), tf_mask.numpy(), atol=2e-4
     )
+
+
+def _torch_warp(img, flow):
+    """grid_sample border/align_corners=True warp, torch (dx,dy) flow channels."""
+    _, _, H, W = img.shape
+    gy, gx = torch.meshgrid(
+        torch.arange(H, dtype=torch.float32),
+        torch.arange(W, dtype=torch.float32), indexing="ij")
+    x = gx[None] + flow[:, 0]
+    y = gy[None] + flow[:, 1]
+    grid = torch.stack([2 * x / (W - 1) - 1, 2 * y / (H - 1) - 1], dim=-1)
+    return tF.grid_sample(img, grid, mode="bilinear", padding_mode="border",
+                          align_corners=True)
+
+
+class _TorchIFNetHDv3(tnn.Module):
+    """Minimal re-typing of the upstream v3.6 forward (IFNet_HDv3.py:84-110)."""
+
+    def __init__(self, c=12):
+        super().__init__()
+        for b in range(3):
+            setattr(self, f"block{b}", _TorchIFBlock(11, c=c))
+
+    def forward(self, img0, img1, scales=(4, 2, 1)):
+        flow = torch.zeros(img0.shape[0], 4, *img0.shape[2:])
+        mask = torch.zeros(img0.shape[0], 1, *img0.shape[2:])
+        w0, w1 = img0, img1
+        for i in range(3):
+            blk = getattr(self, f"block{i}")
+            f0, m0 = blk(torch.cat((w0, w1, mask), 1), flow, scales[i])
+            f1, m1 = blk(torch.cat((w1, w0, -mask), 1),
+                         torch.cat((flow[:, 2:4], flow[:, :2]), 1), scales[i])
+            flow = flow + (f0 + torch.cat((f1[:, 2:4], f1[:, :2]), 1)) / 2
+            mask = mask + (m0 + (-m1)) / 2
+            w0 = _torch_warp(img0, flow[:, :2])
+            w1 = _torch_warp(img1, flow[:, 2:4])
+        s = torch.sigmoid(mask)
+        return flow, w0 * s + w1 * (1 - s)
+
+
+def test_full_network_forward_parity(tmp_path):
+    """Converted full net (warps + multi-scale resizes included) matches torch."""
+    torch.manual_seed(7)
+    tnet = _TorchIFNetHDv3(c=12).eval()
+    path = str(tmp_path / "flownet.pkl")
+    torch.save(tnet.state_dict(), path)
+    params = load_torch_rife_hdv3(path)
+
+    rng = np.random.default_rng(3)
+    i0 = rng.uniform(size=(2, 3, 32, 48)).astype(np.float32)
+    i1 = rng.uniform(size=(2, 3, 32, 48)).astype(np.float32)
+    with torch.no_grad():
+        t_flow, t_merged = tnet(torch.from_numpy(i0), torch.from_numpy(i1))
+
+    net = IFNetHDv3(c=12)
+    out = net.apply(params, jnp.asarray(i0.transpose(0, 2, 3, 1)),
+                    jnp.asarray(i1.transpose(0, 2, 3, 1)))
+    perm = [1, 0, 3, 2]
+    np.testing.assert_allclose(
+        np.asarray(out["flow_list"][-1][..., perm]).transpose(0, 3, 1, 2),
+        t_flow.numpy(), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["merged"][-1]).transpose(0, 3, 1, 2),
+        t_merged.numpy(), atol=5e-4)
 
 
 def test_full_network_structure_roundtrip(tmp_path):
