@@ -383,10 +383,77 @@ def cmd_test_upflow(argv):
     print(json.dumps(report), flush=True)
 
 
+def cmd_select(argv):
+    """Time-step selection (README.md:3 third task; error.py:133-157,499-505):
+    reconstruct the test series by interpolation and report which time steps
+    the interpolator cannot reproduce (keep-worthy) plus the error-vs-|S| curve."""
+    p = argparse.ArgumentParser(prog="select")
+    _add_common(p)
+    p.add_argument("--factor", type=int, default=4)
+    p.add_argument("--factors", default="2,4,8,16,32",
+                   help="comma list for the selection curve")
+    p.add_argument("--linear", action="store_true",
+                   help="use the linear-interpolation baseline, no model needed")
+    p.add_argument("--threshold", type=float, default=None)
+    args = p.parse_args(argv)
+    _maybe_cpu(args)
+
+    from opticalflowscivis_tpu.data import load_raw_series
+    from opticalflowscivis_tpu.evalsuite import (
+        linear_interpolation_baseline,
+        select_timesteps,
+        selection_curve,
+    )
+
+    frames = load_raw_series(args.dataset, args.data_dir, "test")[..., :1]
+
+    if args.linear:
+        def reconstruct(fr, factor):
+            return linear_interpolation_baseline(fr, factor)
+    else:
+        from opticalflowscivis_tpu.data import load_data, pad_to_multiple
+        from opticalflowscivis_tpu.inference import Interpolator, interpolate_series
+        from opticalflowscivis_tpu.training import Trainer
+
+        cfg = _build_cfg(args)
+        tr = Trainer(cfg)
+        test = load_data(args.dataset, args.exp, "test", args.data_dir)
+        padded, _ = pad_to_multiple(test[:2], cfg.pad_multiple, leading_axes=2)
+        tr.init_state(padded, total_steps=1)
+        tr.load_checkpoint()
+        interp = Interpolator(tr.model, tr.state.params, cfg.pad_multiple)
+
+        def reconstruct(fr, factor):
+            recon, _ = interpolate_series(interp, fr, factor)
+            return recon
+
+    recon = reconstruct(frames, args.factor)
+    n = min(frames.shape[0], recon.shape[0])
+    selected, thr = select_timesteps(
+        frames[:n] * 255.0, recon[:n] * 255.0, args.factor, args.threshold
+    )
+    factors = tuple(int(f) for f in args.factors.split(","))
+    curve = selection_curve(frames * 255.0, reconstruct, factors)
+    report = {
+        "dataset": args.dataset,
+        "factor": args.factor,
+        "psnr_threshold": round(thr, 3),
+        "selected_timesteps": selected,
+        "n_selected": len(selected),
+        "curve": {str(k): v for k, v in curve.items()},
+    }
+    os.makedirs(args.results_dir, exist_ok=True)
+    out = os.path.join(args.results_dir, f"selection_{args.dataset}.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report), flush=True)
+
+
 def cmd_generate(argv):
     p = argparse.ArgumentParser(prog="generate")
     p.add_argument("--dataset", default="rectangle2d",
-                   choices=["rectangle2d", "rectangles2d", "rectangle3d", "lbs2d"])
+                   choices=["rectangle2d", "rectangles2d", "rectangle3d",
+                            "lbs2d", "jets3d"])
     p.add_argument("--data_dir", default="data_cache")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--frames", type=int, default=0, help="0 = reference default")
@@ -400,6 +467,7 @@ def cmd_generate(argv):
         "rectangle2d": synthetic.rectangle_2d,
         "rectangles2d": synthetic.rectangles_2d,
         "rectangle3d": synthetic.rectangle_3d,
+        "jets3d": synthetic.jets_3d,
     }
     os.makedirs(args.data_dir, exist_ok=True)
     if args.dataset == "lbs2d":
@@ -436,6 +504,7 @@ VERBS = {
     "inference_video": cmd_inference_video,
     "train_upflow": cmd_train_upflow,
     "test_upflow": cmd_test_upflow,
+    "select": cmd_select,
     "generate": cmd_generate,
     "bench": cmd_bench,
 }

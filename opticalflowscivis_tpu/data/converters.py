@@ -44,6 +44,52 @@ def _save_pkl(arr: np.ndarray, path: str) -> str:
     return path
 
 
+def convert_5jets(
+    src_dir: str,
+    out_path: str,
+    downscale: int = 2,
+    flow_scale: float = 1.0,
+    limit: int = 0,
+) -> str:
+    """5Jets raw ``.dat`` fields → ``[T, 128//k, 128//k, 128//k, 4]`` pkl.
+
+    The reference reads these exploratorily (Datasets/5Jets/read_data.py:14-21):
+    ``Velocity/ns_<step>_v.dat`` is raw float32 reshaped (128,128,128,3) and
+    ``Density/ns_<step>_r.dat`` is raw float32 (128,128,128); README.md:24-26
+    lists 2000 steps (~80 GB), which is why this converter streams one step at
+    a time and block-mean downsamples (``downscale`` per axis, like the
+    droplet3d path, read_data.py:149-159).
+
+    Output channels: density + per-step displacement flow, components ordered
+    row-major ``(d_axis0, d_axis1, d_axis2)`` — the file's (c0, c1, c2) velocity
+    components are assumed to align with the array axes in order; ``flow_scale``
+    converts physical velocity to voxels/step in the *downsampled* grid.
+    """
+    vel_files = sorted(glob.glob(os.path.join(src_dir, "Velocity", "ns_*_v.dat")))
+    if limit:
+        vel_files = vel_files[:limit]
+    if not vel_files:
+        raise FileNotFoundError(f"no Velocity/ns_*_v.dat under {src_dir}")
+    frames = []
+    k = downscale
+    for vf in vel_files:
+        step = os.path.basename(vf).split("_")[1]
+        rf = os.path.join(src_dir, "Density", f"ns_{step}_r.dat")
+        vel = np.fromfile(vf, dtype=np.float32).reshape(128, 128, 128, 3)
+        rho = (
+            np.fromfile(rf, dtype=np.float32).reshape(128, 128, 128)
+            if os.path.exists(rf)
+            else np.linalg.norm(vel, axis=-1)  # density file missing → |v|
+        )
+        if k > 1:
+            rho = downscale_local_mean(rho, (k, k, k))
+            vel = downscale_local_mean(vel, (k, k, k, 1)) / k
+        frames.append(
+            np.concatenate([rho[..., None], vel * flow_scale], axis=-1)
+        )
+    return _save_pkl(np.stack(frames), out_path)
+
+
 def convert_droplet3d(
     raw_dir: str,
     out_dir: str,

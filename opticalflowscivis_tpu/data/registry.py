@@ -107,6 +107,13 @@ REGISTRY: dict[str, DatasetSpec] = {
         batch_size=20, pkl_file="droplet3d_64_train.pkl",
         val_pkl_file="droplet3d_64_val.pkl", resample_stride=0,
     ),
+    "jets3d": _spec(  # 5Jets (README.md:24-26); synthetic analogue built in
+        name="jets3d", ndim=3, has_flow=True,
+        train=[(0, 350)], val=[(350, 425)], test=[(425, 500)],
+        batch_size=15, generator=synthetic.jets_3d,
+        pkl_file="jets3d.pkl",  # convert_5jets output takes precedence
+        resample_stride=0, flip_aug=False,
+    ),
     "tangaroa3d": _spec(
         name="tangaroa3d", ndim=3, has_flow=False,
         train=[(0, 150)], val=[(150, 201)], test=[(150, 201)],

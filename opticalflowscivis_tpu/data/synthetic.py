@@ -118,6 +118,116 @@ def rectangles_2d(
     return np.concatenate([density[..., None], flow], axis=-1)
 
 
+def _trilinear_sample(vol: np.ndarray, coords: np.ndarray) -> np.ndarray:
+    """Sample ``vol [D,H,W]`` at fractional ``coords [...,3]`` (border clamp)."""
+    out_shape = coords.shape[:-1]
+    c = coords.reshape(-1, 3)
+    lo = np.floor(c).astype(np.int64)
+    frac = c - lo
+    acc = np.zeros(c.shape[0], np.float32)
+    dims = np.array(vol.shape)
+    for corner in range(8):
+        bits = [(corner >> i) & 1 for i in range(3)]
+        idx = np.clip(lo + bits, 0, dims - 1)
+        w = np.prod(
+            [frac[:, i] if b else 1.0 - frac[:, i] for i, b in enumerate(bits)],
+            axis=0,
+        )
+        acc += w.astype(np.float32) * vol[idx[:, 0], idx[:, 1], idx[:, 2]]
+    return acc.reshape(out_shape)
+
+
+def jets_3d(
+    n_frames: int = 500,
+    grid: tuple[int, int, int] = (64, 64, 64),
+    n_jets: int = 5,
+    vel_max: float = 2.5,
+    max_seq: int = 25,
+    decay: float = 0.98,
+    seed: int = 0,
+) -> np.ndarray:
+    """Synthetic analogue of the 5Jets dataset — ``[T, D, H, W, 4]``.
+
+    The real 5Jets data (128^3 velocity+density, 2000 steps, ~80 GB —
+    README.md:24-26, Datasets/5Jets/read_data.py:14-21) does not ship with the
+    reference; this generator produces the same *kind* of field so the full
+    train + time-step-selection pipeline is exercisable end to end: ``n_jets``
+    gaussian-tube streams inject density at one face and advect it with a
+    known velocity field (semi-Lagrangian backward-warp integration), so the
+    stored flow is the exact per-step displacement used to evolve the data.
+
+    Channels: density in [0,1] + row-major (d_axis0, d_axis1, d_axis2) flow in
+    voxels/step.  Jet directions re-randomize every ``max_seq`` steps (like the
+    rectangle generators' velocity re-rolls) so dynamics are piecewise-steady.
+    """
+    rng = np.random.default_rng(seed)
+    D, H, W = grid
+    zz, yy, xx = np.meshgrid(
+        np.arange(D, dtype=np.float32),
+        np.arange(H, dtype=np.float32),
+        np.arange(W, dtype=np.float32),
+        indexing="ij",
+    )
+    pts = np.stack([zz, yy, xx], axis=-1)  # [D,H,W,3]
+
+    origins = np.stack(
+        [
+            np.full(n_jets, 2.0, np.float32),
+            rng.uniform(0.15 * H, 0.85 * H, n_jets).astype(np.float32),
+            rng.uniform(0.15 * W, 0.85 * W, n_jets).astype(np.float32),
+        ],
+        axis=-1,
+    )
+    sigma = 0.10 * min(H, W)
+
+    def draw_directions() -> np.ndarray:
+        """Unit-ish jet directions, dominantly along +axis0 with side jitter."""
+        d = np.stack(
+            [
+                rng.uniform(0.6, 1.0, n_jets),
+                rng.uniform(-0.5, 0.5, n_jets),
+                rng.uniform(-0.5, 0.5, n_jets),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        return d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+    def velocity_field(dirs: np.ndarray) -> np.ndarray:
+        """Sum of gaussian-profile streams, each around its jet's axis."""
+        v = np.zeros(grid + (3,), np.float32)
+        for j in range(n_jets):
+            rel = pts - origins[j]
+            along = rel @ dirs[j]
+            radial = rel - along[..., None] * dirs[j]
+            r2 = np.sum(radial**2, axis=-1)
+            profile = np.exp(-r2 / (2 * sigma**2)) * (along > -2 * sigma)
+            v += (vel_max * profile)[..., None] * dirs[j]
+        mag = np.linalg.norm(v, axis=-1, keepdims=True)
+        return np.where(mag > vel_max, v * (vel_max / (mag + 1e-9)), v)
+
+    inject = np.zeros(grid, np.float32)
+    for j in range(n_jets):
+        r2 = np.sum((pts - origins[j]) ** 2, axis=-1)
+        inject = np.maximum(inject, np.exp(-r2 / (2 * (0.5 * sigma) ** 2)))
+
+    out = np.empty((n_frames,) + grid + (4,), np.float32)
+    density = inject.copy()
+    vel = velocity_field(draw_directions())
+    seq = max_seq
+    for t in range(n_frames):
+        if seq == 0:
+            vel = velocity_field(draw_directions())
+            seq = max_seq
+        seq -= 1
+        # stored flow = the displacement that evolves frame t into frame t+1
+        out[t, ..., 0] = density
+        out[t, ..., 1:] = vel
+        density = np.clip(
+            decay * _trilinear_sample(density, pts - vel) + inject, 0.0, 1.0
+        )
+    return out
+
+
 def rectangle_3d(
     n_frames: int = 1000,
     grid: tuple[int, int, int] = (64, 64, 64),

@@ -30,10 +30,11 @@ from opticalflowscivis_tpu.losses.selfsup import (
     sp_transform_pair,
 )
 from opticalflowscivis_tpu.losses.upflow import UPFlowLossConfig, upflow_losses
+from opticalflowscivis_tpu.losses.perceptual import vgg_perceptual_loss
 
 __all__ = [
     "charbonnier", "epe", "l1_loss", "photometric_loss", "smoothness_loss",
     "sobel_loss", "flow_supervision", "RIFELossWeights", "rife_losses",
-    "UPFlowLossConfig", "upflow_losses",
+    "UPFlowLossConfig", "upflow_losses", "vgg_perceptual_loss",
     "SPTransformConfig", "sp_transform_pair", "eq_loss", "oi_loss",
 ]

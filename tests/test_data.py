@@ -89,3 +89,47 @@ def test_minmax_normalize_leaves_flow():
     out = minmax_normalize(arr)
     assert out[..., 0].min() == 0.0 and out[..., 0].max() == 1.0
     np.testing.assert_allclose(out[..., 1:], arr[..., 1:])
+
+
+def test_jets_3d_advection_consistency():
+    """jets_3d stores the exact displacement used to evolve the density: a
+    semi-Lagrangian re-advection of frame t with the stored flow reproduces
+    frame t+1 (up to the known injection + decay terms)."""
+    from opticalflowscivis_tpu.data.synthetic import _trilinear_sample, jets_3d
+
+    arr = jets_3d(n_frames=8, grid=(16, 16, 16), n_jets=2, seed=4)
+    assert arr.shape == (8, 16, 16, 16, 4)
+    assert arr[..., 0].min() >= 0.0 and arr[..., 0].max() <= 1.0
+    assert np.abs(arr[..., 1:]).max() <= 2.5 + 1e-5
+    # density is being injected and transported — frames must change over time
+    assert np.abs(arr[3, ..., 0] - arr[0, ..., 0]).max() > 1e-3
+
+    zz, yy, xx = np.meshgrid(*[np.arange(16, dtype=np.float32)] * 3, indexing="ij")
+    pts = np.stack([zz, yy, xx], axis=-1)
+    t = 2
+    adv = 0.98 * _trilinear_sample(arr[t, ..., 0], pts - arr[t, ..., 1:])
+    # inject = max over jets; recover it from frame 0 vs nothing: instead test
+    # that frame t+1 >= advected part everywhere (injection only adds) and
+    # matches exactly away from the injection blobs.
+    nxt = arr[t + 1, ..., 0]
+    assert (nxt - np.clip(adv, 0, 1) >= -1e-5).all()
+    far = arr[0, ..., 0] < 1e-4  # voxels with ~zero injection footprint
+    np.testing.assert_allclose(nxt[far], np.clip(adv, 0, 1)[far], atol=1e-4)
+
+
+def test_jets3d_registry_end_to_end(tmp_path, monkeypatch):
+    """jets3d loads through the registry like any dataset (tiny generated pkl)."""
+    import pickle
+
+    from opticalflowscivis_tpu.data import get_spec, load_data
+    from opticalflowscivis_tpu.data.synthetic import jets_3d
+
+    spec = get_spec("jets3d")
+    assert spec.ndim == 3 and spec.has_flow
+    arr = jets_3d(n_frames=12, grid=(16, 16, 16), n_jets=2, seed=1)
+    with open(tmp_path / "jets3d.pkl", "wb") as f:
+        pickle.dump(arr, f)
+    train, val = load_data("jets3d", 1, "train", str(tmp_path))
+    test = load_data("jets3d", 1, "test", str(tmp_path))
+    assert train.shape[1] == 3 and train.shape[-1] == 4
+    assert test.ndim == 6

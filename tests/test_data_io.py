@@ -83,3 +83,40 @@ def test_netcdf_gated():
 
     with pytest.raises(ImportError, match="netCDF4"):
         convert_netcdf_2d("/nonexistent.nc", "/tmp", "x")
+
+
+def test_convert_5jets(tmp_path):
+    """convert_5jets: raw float32 .dat pairs → downsampled [T,D,H,W,4] pkl."""
+    import pickle
+
+    from opticalflowscivis_tpu.data.converters import convert_5jets
+
+    os.makedirs(tmp_path / "Velocity")
+    os.makedirs(tmp_path / "Density")
+    rng = np.random.default_rng(0)
+    for step in (1000, 1010):
+        vel = rng.normal(size=(128, 128, 128, 3)).astype(np.float32)
+        rho = rng.uniform(size=(128, 128, 128)).astype(np.float32)
+        vel.tofile(tmp_path / "Velocity" / f"ns_{step}_v.dat")
+        rho.tofile(tmp_path / "Density" / f"ns_{step}_r.dat")
+    out = convert_5jets(str(tmp_path), str(tmp_path / "jets3d.pkl"), downscale=4)
+    with open(out, "rb") as f:
+        arr = pickle.load(f)
+    assert arr.shape == (2, 32, 32, 32, 4)
+    assert np.isfinite(arr).all()
+
+
+def test_convert_5jets_missing_density(tmp_path):
+    from opticalflowscivis_tpu.data.converters import convert_5jets
+
+    os.makedirs(tmp_path / "Velocity")
+    vel = np.ones((128, 128, 128, 3), np.float32)
+    vel.tofile(tmp_path / "Velocity" / "ns_5_v.dat")
+    out = convert_5jets(str(tmp_path), str(tmp_path / "o.pkl"), downscale=8)
+    import pickle
+
+    with open(out, "rb") as f:
+        arr = pickle.load(f)
+    # density falls back to |v| = sqrt(3)
+    np.testing.assert_allclose(arr[..., 0], np.sqrt(3), rtol=1e-5)
+    np.testing.assert_allclose(arr[..., 1:], 1.0 / 8, rtol=1e-5)

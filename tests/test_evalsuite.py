@@ -143,7 +143,9 @@ def test_bench_hd_yuv_protocol(tmp_path):
     t = np.linspace(0, 1, w, dtype=np.float32)
     with YUVWriter(path) as wr:
         for i in range(8):
-            ramp = np.clip((t[None, :] + i * 0.05) % 1.0, 0, 1)
+            # No wrap: a clipped ramp is piecewise-linear in time, so the
+            # midpoint-lerp stub below reconstructs it almost exactly.
+            ramp = np.clip(t[None, :] * 0.5 + i * 0.05, 0, 1)
             frame = np.repeat(ramp[..., None], 3, -1)
             wr.write(np.repeat(frame, h, 0).reshape(h, w, 3) * 255)
 
