@@ -289,6 +289,10 @@ def cmd_train_upflow(argv):
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--census_weight", type=float, default=0.0)
     p.add_argument("--msd_weight", type=float, default=0.0)
+    p.add_argument("--recipe", default="simple", choices=["simple", "ex_runner"],
+                   help="simple = scripts/simple_train.py; ex_runner = "
+                        "scripts/ex_runner.py (eq/oi spatial-transform distill)")
+    p.add_argument("--resume", action="store_true")
     args = p.parse_args(argv)
     _maybe_cpu(args)
 
@@ -302,14 +306,19 @@ def cmd_train_upflow(argv):
 
     frames = load_raw_series(args.dataset, args.data_dir, "train")[..., :1]
     pairs = frames_to_pairs(frames, in_channels=3)
-    cfg = UPFlowTrainConfig(
+    kw = dict(
         batch_size=args.batch_size,
         n_epoch=args.epochs,
         exp_dir=os.path.join(args.results_dir, args.dataset, "upflow"),
         loss=UPFlowLossConfig(census_weight=args.census_weight,
                               msd_weight=args.msd_weight),
     )
+    cfg = (UPFlowTrainConfig.preset_ex_runner(**kw)
+           if args.recipe == "ex_runner" else UPFlowTrainConfig(**kw))
     tr = UPFlowTrainer(cfg)
+    if args.resume:
+        tr.init_state(pairs[:1])
+        tr.load_checkpoint()
     hist = tr.fit(pairs, epochs=args.epochs)
     print(json.dumps({"final": hist[-1] if hist else None}), flush=True)
 

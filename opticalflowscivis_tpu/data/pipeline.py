@@ -131,6 +131,16 @@ class TupleDataset:
             sel = idx[i * self.batch_size : (i + 1) * self.batch_size]
             yield self.tuples[sel]
 
+    def epoch_indices(self, shuffle: bool = True):
+        """Index batches (same shuffle stream as ``epoch``) — for the
+        HBM-resident dataset path, where only indices cross the host↔device
+        boundary each step."""
+        idx = np.arange(self.tuples.shape[0])
+        if shuffle:
+            self.rng.shuffle(idx)
+        for i in range(len(self)):
+            yield idx[i * self.batch_size : (i + 1) * self.batch_size]
+
     def epoch_device(self, sharding, shuffle: bool = True):
         """One-step-lookahead device prefetch (⇔ tools.data_prefetcher's
         CUDA-stream prefetch, UPFlow/utils/tools.py:177-249): the next batch's

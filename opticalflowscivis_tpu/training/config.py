@@ -69,6 +69,10 @@ class TrainConfig:
     early_stop_patience: int = 0  # 0 = off; Flow-3D uses 1000
     pad_multiple: int = 32
     n_data: int | None = None  # data-parallel degree (None → all devices)
+    hbm_dataset_gb: float = 6.0  # cache train/val sets in HBM when they fit
+    #   (0 = always stream): one upload, then only batch *indices* cross the
+    #   host↔device boundary per step — the TPU answer to DataLoader workers;
+    #   essential behind the axon relay, whose per-step H2D bandwidth is low
     n_space: int = 1  # spatial-shard degree (volume depth over the 'space' axis)
     spatial_shard: bool = False  # shard 3-D volumes spatially (GSPMD halos)
     debug_nans: bool = False

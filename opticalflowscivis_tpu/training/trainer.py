@@ -143,6 +143,7 @@ class Trainer:
         self.steps_per_epoch = 1  # set by fit()
         self._jit_train = None
         self._jit_eval = None
+        self._jit_train_idx = None
 
     # -- state ------------------------------------------------------------
     def init_state(self, sample_batch: np.ndarray, total_steps: int) -> TrainState:
@@ -173,6 +174,21 @@ class Trainer:
             self._eval_step_fn,
             in_shardings=(self.repl, self.batch_sharding),
         )
+
+        def train_step_idx(state, data, idx):
+            # HBM-resident path: gather the minibatch on device; constrain it
+            # to the batch sharding so data-parallel compute is unchanged.
+            batch = jax.lax.with_sharding_constraint(
+                jnp.take(data, idx, axis=0), self.batch_sharding
+            )
+            return self._train_step_fn(state, batch)
+
+        self._jit_train_idx = jax.jit(
+            train_step_idx,
+            in_shardings=(self.repl, self.repl, self.repl),
+            out_shardings=(self.repl, self.repl),
+            donate_argnums=(0,),
+        )
         return self.state
 
     # -- data -------------------------------------------------------------
@@ -202,21 +218,44 @@ class Trainer:
         if self.state is None:
             self.init_state(train_tuples[:batch], total_steps)
 
+        # HBM-resident dataset: one bulk upload, then only indices per step.
+        use_hbm = bool(
+            cfg.hbm_dataset_gb
+            and train_tuples.nbytes <= cfg.hbm_dataset_gb * 1e9
+        )
+        data_dev = None
+        val_dev = val_tuples
+        if use_hbm:
+            data_dev = jax.device_put(jnp.asarray(train_tuples), self.repl)
+            if (
+                val_tuples.nbytes <= cfg.hbm_dataset_gb * 1e9 / 4
+                and val_tuples.shape[0] >= self.mesh.shape["data"]
+            ):
+                val_dev = jax.device_put(jnp.asarray(val_tuples), self.repl)
+
+        def epoch_batches():
+            if use_hbm:
+                for idx in ds.epoch_indices():
+                    yield self._jit_train_idx, (data_dev, jnp.asarray(idx))
+            else:
+                for batch_dev in ds.epoch_device(self.batch_sharding):
+                    yield self._jit_train, (batch_dev,)
+
         history = []
         best_val = np.inf
         patience = 0
         t0 = time.time()
         step = 0
         for epoch in range(epochs):
-            for batch_dev in ds.epoch_device(self.batch_sharding):
-                self.state, parts = self._jit_train(self.state, batch_dev)
+            for step_fn, args in epoch_batches():
+                self.state, parts = step_fn(self.state, *args)
                 step += 1
                 if log_every and step % log_every == 0:
                     g = float(parts["loss_G"])
                     rate = step / (time.time() - t0)
                     print(f"epoch {epoch} step {step} loss_G {g:.5f} "
                           f"({rate:.2f} it/s)", flush=True)
-            val_parts = self.evaluate(val_tuples, batch)
+            val_parts = self.evaluate(val_dev, batch)
             history.append(val_parts)
             self._append_loss_json(val_parts)
             val_g = val_parts["loss_G"]

@@ -41,6 +41,7 @@ class UPFlowTrainConfig:
     n_epoch: int = 1000
     lr: float = 1e-4
     weight_decay: float = 1e-4
+    lr_gamma: float = 1.0  # per-epoch exponential decay (simple_train.py:190 γ=1)
     seed: int = 0
     exp_dir: str = "./demo_exp"
     bfloat16: bool = True
@@ -51,6 +52,20 @@ class UPFlowTrainConfig:
     oi_weight: float = 0.0  # occlusion-photometric loss on transformed pairs
     model: UPFlowConfig = dataclasses.field(default_factory=UPFlowConfig)
     loss: UPFlowLossConfig = dataclasses.field(default_factory=UPFlowLossConfig)
+
+    @classmethod
+    def preset_ex_runner(cls, **kw) -> "UPFlowTrainConfig":
+        """The ex_runner training recipe (UPFlow/scripts/ex_runner.py:23-58):
+        ARFlow-style spatial-transform distillation (eq) + occlusion-masked
+        photometric loss on the transformed pair (oi), both at the reference's
+        ``spatial_trans_loss_weight=0.01``; Adam lr=1e-2, wd=1e-5, per-epoch
+        exponential decay γ=0.95 (:26-29).  The reference uses this to finetune
+        from a pretrained checkpoint (:31) — call ``load_checkpoint`` first for
+        the same workflow."""
+        return cls(
+            lr=1e-2, weight_decay=1e-5, lr_gamma=0.95,
+            eq_weight=0.01, oi_weight=0.01, **kw,
+        )
 
 
 def frames_to_pairs(frames: np.ndarray, in_channels: int = 3) -> np.ndarray:
@@ -123,12 +138,19 @@ class UPFlowTrainer:
         self._jit_train = None
         self._jit_eval = None
 
-    def init_state(self, sample_pair: np.ndarray):
+    def init_state(self, sample_pair: np.ndarray, steps_per_epoch: int = 0):
         cfg = self.cfg
         im1 = jnp.asarray(sample_pair[:1, 0])
         im2 = jnp.asarray(sample_pair[:1, 1])
         params = jax.jit(self.net.init)(jax.random.PRNGKey(cfg.seed), im1, im2)
-        tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+        lr = cfg.lr
+        if cfg.lr_gamma != 1.0 and steps_per_epoch > 0:
+            # ExponentialLR stepped per epoch (ex_runner.py:28 γ=0.95)
+            lr = optax.exponential_decay(
+                cfg.lr, transition_steps=steps_per_epoch,
+                decay_rate=cfg.lr_gamma, staircase=True,
+            )
+        tx = optax.adamw(lr, weight_decay=cfg.weight_decay)
         state = train_state.TrainState.create(
             apply_fn=self.net.apply, params=params, tx=tx
         )
@@ -150,9 +172,15 @@ class UPFlowTrainer:
         epochs = epochs if epochs is not None else cfg.n_epoch
         n_data = self.mesh.shape["data"]
         batch = max(n_data, (min(cfg.batch_size, pairs.shape[0]) // n_data) * n_data)
+        if pairs.shape[0] < batch:
+            raise ValueError(
+                f"{pairs.shape[0]} pairs < batch {batch} (data axis = {n_data} "
+                f"devices needs at least one pair per device)"
+            )
         ds = TupleDataset(pairs, batch, seed=cfg.seed)
         if self.state is None:
-            self.init_state(pairs[:1])
+            self.init_state(pairs[:1],
+                            steps_per_epoch=max(1, pairs.shape[0] // batch))
         history = []
         t0 = time.time()
         step = 0

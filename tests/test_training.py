@@ -60,3 +60,24 @@ def test_fit_decreases_loss_and_uses_mesh(tiny_setup):
     parts, extras = tr.predict(tuples[:8])
     assert extras["pred"].shape == (8, 32, 32, 1)
     assert extras["flow"].shape == (8, 32, 32, 4)
+
+
+def test_hbm_resident_path_matches_streaming(tiny_setup):
+    """The HBM-resident dataset path (bulk upload + per-step index gather) is
+    numerically identical to the streaming path — same shuffle stream, same
+    batches, same updates."""
+    import dataclasses
+
+    import jax
+
+    cfg, tuples = tiny_setup
+    cfg_stream = dataclasses.replace(cfg, hbm_dataset_gb=0.0)
+    tr_hbm = Trainer(cfg)
+    tr_str = Trainer(cfg_stream)
+    h1 = tr_hbm.fit(tuples[:24], tuples[24:32], epochs=2, log_every=0)
+    h2 = tr_str.fit(tuples[:24], tuples[24:32], epochs=2, log_every=0)
+    np.testing.assert_allclose(h1[-1]["loss_G"], h2[-1]["loss_G"], rtol=1e-6)
+    a = jax.tree.leaves(tr_hbm.state.params)
+    b = jax.tree.leaves(tr_str.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)

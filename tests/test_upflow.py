@@ -93,3 +93,33 @@ def test_trainer_loss_decreases(tmp_path):
     assert hist[-1]["loss_total"] <= hist[0]["loss_total"] * 1.05
     parts, extras = tr.predict(pairs[:8])
     assert extras["flow_f"].shape == (8, 64, 64, 2)
+
+
+def test_ex_runner_preset_trains_one_epoch(tmp_path):
+    """preset_ex_runner: eq/oi distillation + exponential-LR recipe
+    (ex_runner.py:23-58) runs a tiny end-to-end epoch and decays the LR."""
+    from opticalflowscivis_tpu.models.upflow import UPFlowConfig
+    from opticalflowscivis_tpu.training.upflow_trainer import (
+        UPFlowTrainConfig,
+        UPFlowTrainer,
+        frames_to_pairs,
+    )
+
+    cfg = UPFlowTrainConfig.preset_ex_runner(
+        batch_size=2, n_epoch=1, exp_dir=str(tmp_path), pad_multiple=32,
+        bfloat16=False,
+        model=UPFlowConfig(
+            num_chs=(3, 4, 8, 8, 12, 16, 16),
+            estimator_f_channels=(16, 16, 12, 8, 8),
+            context_f_channels=(16, 16, 16, 12, 8, 8, 2),
+            search_range=2,
+        ),
+    )
+    assert cfg.eq_weight == 0.01 and cfg.oi_weight == 0.01
+    assert cfg.lr == 1e-2 and cfg.lr_gamma == 0.95
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(size=(17, 32, 32, 1)).astype(np.float32)
+    tr = UPFlowTrainer(cfg)
+    hist = tr.fit(frames_to_pairs(frames, 3), epochs=1)
+    assert hist and np.isfinite(hist[0]["loss_total"])
+    assert "eq_loss" in hist[0] and "oi_loss" in hist[0]
