@@ -64,6 +64,10 @@ def _build_cfg(args, epochs=None, batch_size=None):
         loss=loss,
         early_stop_patience=1000 if spec.ndim == 3 else 0,  # Flow-3D/train.py:400-412
         keep_best_only=spec.ndim == 3,
+        # 3-D volumes: bf16 HBM cache + on-device flips keep 64^3 training
+        # fully device-resident (the host-augmented f32 set would be ~38 GB)
+        device_flip_aug=spec.ndim == 3,
+        hbm_dataset_dtype="bfloat16" if spec.ndim == 3 else "float32",
     )
 
 

@@ -242,6 +242,7 @@ def load_data(
     mode: str = "train",
     data_dir: str = "data_cache",
     use_cache: bool = True,
+    host_flip_aug: bool | None = None,
 ):
     """(train_tuples, val_tuples) for mode='train'; test_tuples for mode='test'.
 
@@ -249,15 +250,20 @@ def load_data(
     (dataset, exp, mode) and invalidated by the source pkl's mtime — the
     normalize/resample/flip/group pipeline costs tens of seconds on the big
     datasets and is fully deterministic.
+
+    ``host_flip_aug=False`` skips the host-side flip augmentation (the trainer
+    then applies ``device_flip_augment`` per batch on device instead).
     """
     spec = get_spec(dataset)
+    if host_flip_aug is not None and spec.flip_aug != host_flip_aug:
+        spec = dataclasses.replace(spec, flip_aug=host_flip_aug)
     if use_cache and (spec.generator is not None or spec.pkl_file):
         src = os.path.join(
             data_dir,
             f"{spec.name}.pkl" if spec.generator is not None else spec.pkl_file,
         )
         cache_dir = os.path.join(data_dir, "prepared")
-        tag = f"{spec.name}_exp{exp}_{mode}"
+        tag = f"{spec.name}_exp{exp}_{mode}" + ("" if spec.flip_aug else "_noflip")
         paths = [os.path.join(cache_dir, f"{tag}_{i}.npy") for i in range(2)]
         if use_cache and os.path.exists(src) and all(
             os.path.exists(p) and os.path.getmtime(p) > os.path.getmtime(src)

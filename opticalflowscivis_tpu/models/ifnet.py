@@ -195,6 +195,28 @@ class IFNet(nn.Module):
         for i in range(n_blocks):
             m = merged[i][0] * mask_list[i] + merged[i][1] * (1 - mask_list[i])
             merged_out.append(m)
+            if gt is not None:
+                # Per-block distillation (IFNet.py:239-248): pull student flow
+                # toward the teacher wherever the student's reconstruction is
+                # worse than the teacher's by >0.01 (masked RMSE, all blocks).
+                err_stu = jnp.mean(jnp.abs(m - gt), axis=-1, keepdims=True)
+                err_tea = jnp.mean(
+                    jnp.abs(merged_teacher - gt), axis=-1, keepdims=True
+                )
+                worse = jax.lax.stop_gradient(
+                    (err_stu > err_tea + 0.01).astype(jnp.float32)
+                )
+                rmse = jnp.sqrt(
+                    jnp.mean(
+                        (
+                            jax.lax.stop_gradient(flow_teacher) - flow_list[i]
+                        ).astype(jnp.float32)
+                        ** 2,
+                        axis=-1,
+                        keepdims=True,
+                    )
+                )
+                loss_distill = loss_distill + jnp.mean(rmse * worse)
 
         if self.refine:
             # Contextnet/Unet residual fusion on the final prediction
@@ -208,22 +230,6 @@ class IFNet(nn.Module):
                        name="unet")(img0, img1, warped0, warped1, mask, flow,
                                     c0, c1)
             merged_out[-1] = jnp.clip(merged_out[-1] + (res * 2 - 1), 0, 1)
-            if gt is not None:
-                # Distill student flow toward teacher where the student's
-                # reconstruction is worse by >0.01 (IFNet.py:246-248).
-                err_stu = jnp.mean(jnp.abs(m - gt), axis=-1, keepdims=True)
-                err_tea = jnp.mean(jnp.abs(merged_teacher - gt), axis=-1, keepdims=True)
-                worse = jax.lax.stop_gradient(
-                    (err_stu > err_tea + 0.01).astype(jnp.float32)
-                )
-                rmse = jnp.sqrt(
-                    jnp.mean(
-                        (jax.lax.stop_gradient(flow_teacher) - flow_list[i]).astype(jnp.float32) ** 2,
-                        axis=-1,
-                        keepdims=True,
-                    )
-                )
-                loss_distill = loss_distill + jnp.mean(rmse * worse)
 
         return {
             "flow_list": flow_list,

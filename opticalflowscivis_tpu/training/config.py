@@ -73,6 +73,11 @@ class TrainConfig:
     #   (0 = always stream): one upload, then only batch *indices* cross the
     #   host↔device boundary per step — the TPU answer to DataLoader workers;
     #   essential behind the axon relay, whose per-step H2D bandwidth is low
+    hbm_dataset_dtype: str = "float32"  # "bfloat16" halves cached bytes (the
+    #   model computes in bf16 anyway; targets quantize to ~3 decimal digits)
+    device_flip_aug: bool = False  # flip-augment per batch on device instead
+    #   of 4x-ing the host arrays — with bf16 this makes 64^3 volume training
+    #   fully HBM-resident (unaugmented base tuples only)
     n_space: int = 1  # spatial-shard degree (volume depth over the 'space' axis)
     spatial_shard: bool = False  # shard 3-D volumes spatially (GSPMD halos)
     debug_nans: bool = False

@@ -178,8 +178,15 @@ class Trainer:
         def train_step_idx(state, data, idx):
             # HBM-resident path: gather the minibatch on device; constrain it
             # to the batch sharding so data-parallel compute is unchanged.
+            # Virtual indices >= len(data) select on-device flip augmentation.
+            n = data.shape[0]
+            batch = jnp.take(data, idx % n, axis=0)
+            if cfg.device_flip_aug:
+                from opticalflowscivis_tpu.data.pipeline import device_flip_augment
+
+                batch = device_flip_augment(batch, idx // n, cfg.model.ndim)
             batch = jax.lax.with_sharding_constraint(
-                jnp.take(data, idx, axis=0), self.batch_sharding
+                batch.astype(jnp.float32), self.batch_sharding
             )
             return self._train_step_fn(state, batch)
 
@@ -194,7 +201,11 @@ class Trainer:
     # -- data -------------------------------------------------------------
     def load_datasets(self):
         cfg = self.cfg
-        train, val = load_data(cfg.dataset, cfg.exp, "train", cfg.data_dir)
+        train, val = load_data(
+            cfg.dataset, cfg.exp, "train", cfg.data_dir,
+            # on-device augmentation → keep the host arrays unaugmented
+            host_flip_aug=False if cfg.device_flip_aug else None,
+        )
         return self._pad_spatial(train), self._pad_spatial(val)
 
     def _pad_spatial(self, arr: np.ndarray) -> np.ndarray:
@@ -212,21 +223,41 @@ class Trainer:
         # keep batch divisible by mesh data axis
         n_data = self.mesh.shape["data"]
         batch = max(n_data, (batch // n_data) * n_data)
+        # HBM-resident dataset: one bulk upload, then only indices per step.
+        # device_flip_aug keeps only the unaugmented base tuples in HBM and
+        # extends the index space 4x (bit-equal to host flip_augment order).
+        cache_dtype = (
+            jnp.bfloat16 if cfg.hbm_dataset_dtype == "bfloat16" else jnp.float32
+        )
+        cache_bytes = train_tuples.nbytes * (
+            0.5 if cache_dtype == jnp.bfloat16 else 1.0
+        )
+        use_hbm = bool(cfg.hbm_dataset_gb and cache_bytes <= cfg.hbm_dataset_gb * 1e9)
+        aug = 1
+        if cfg.device_flip_aug and self.spec.flip_aug:
+            if use_hbm:
+                aug = 4
+            else:  # streaming fallback: materialize the host augmentation
+                from opticalflowscivis_tpu.data.pipeline import flip_augment
+
+                train_tuples = flip_augment(train_tuples)
+
         ds = TupleDataset(train_tuples, batch, seed=cfg.seed)
-        self.steps_per_epoch = len(ds)
+        self.steps_per_epoch = (train_tuples.shape[0] * aug) // batch
         total_steps = max(self.steps_per_epoch * epochs, 1)
         if self.state is None:
             self.init_state(train_tuples[:batch], total_steps)
 
-        # HBM-resident dataset: one bulk upload, then only indices per step.
-        use_hbm = bool(
-            cfg.hbm_dataset_gb
-            and train_tuples.nbytes <= cfg.hbm_dataset_gb * 1e9
-        )
+        if val_tuples.shape[0] == 0:
+            # tiny series can produce an empty val split — fall back to a
+            # train batch so per-epoch eval/checkpoint logic still runs
+            val_tuples = train_tuples[:batch]
         data_dev = None
         val_dev = val_tuples
         if use_hbm:
-            data_dev = jax.device_put(jnp.asarray(train_tuples), self.repl)
+            data_dev = jax.device_put(
+                jnp.asarray(train_tuples, cache_dtype), self.repl
+            )
             if (
                 val_tuples.nbytes <= cfg.hbm_dataset_gb * 1e9 / 4
                 and val_tuples.shape[0] >= self.mesh.shape["data"]
@@ -235,7 +266,9 @@ class Trainer:
 
         def epoch_batches():
             if use_hbm:
-                for idx in ds.epoch_indices():
+                for idx in ds.epoch_indices(
+                    n_virtual=train_tuples.shape[0] * aug
+                ):
                     yield self._jit_train_idx, (data_dev, jnp.asarray(idx))
             else:
                 for batch_dev in ds.epoch_device(self.batch_sharding):

@@ -133,3 +133,40 @@ def test_jets3d_registry_end_to_end(tmp_path, monkeypatch):
     test = load_data("jets3d", 1, "test", str(tmp_path))
     assert train.shape[1] == 3 and train.shape[-1] == 4
     assert test.ndim == 6
+
+
+def test_device_flip_augment_matches_host():
+    """device_flip_augment(code) reproduces flip_augment's block order exactly
+    (codes 0..3 = [base, flip_ax0, flip_ax1, flip_both]), 2-D and 3-D."""
+    import jax.numpy as jnp
+
+    from opticalflowscivis_tpu.data.pipeline import device_flip_augment, group_tuples
+
+    for ndim, shape in ((2, (9, 8, 6, 3)), (3, (9, 6, 4, 4, 4))):
+        rng = np.random.default_rng(ndim)
+        arr = rng.normal(size=shape).astype(np.float32)
+        tuples = group_tuples(arr, 1)  # [N, 3, *S, C]
+        hosted = flip_augment(tuples.reshape((-1,) + tuples.shape[2:]))
+        # flip_augment works on [T,*S,C]; rebuild the tuple blocks per code
+        n = tuples.shape[0] * 3
+        blocks = [hosted[i * n:(i + 1) * n].reshape(tuples.shape) for i in range(4)]
+        for code in range(4):
+            got = device_flip_augment(
+                jnp.asarray(tuples), jnp.full((tuples.shape[0],), code), ndim
+            )
+            np.testing.assert_allclose(np.asarray(got), blocks[code], atol=0)
+
+
+def test_load_data_host_flip_override(tmp_path):
+    from opticalflowscivis_tpu.data import load_data
+
+    arr = rectangle_2d(n_frames=60, grid=(16, 16), box=(6, 8), seed=9)
+    import pickle
+
+    with open(tmp_path / "rectangle2d.pkl", "wb") as f:
+        pickle.dump(arr, f)
+    t_aug, _ = load_data("rectangle2d", 1, "train", str(tmp_path))
+    t_base, _ = load_data("rectangle2d", 1, "train", str(tmp_path),
+                          host_flip_aug=False)
+    assert t_aug.shape[0] == 4 * t_base.shape[0]
+    np.testing.assert_allclose(t_aug[: t_base.shape[0]], t_base)

@@ -78,3 +78,23 @@ def test_arbitrary_timestep():
     o1 = net.apply(params, x, x, None, timestep=0.25)
     o2 = net.apply(params, x, x, None, timestep=0.75)
     assert o1["merged"][-1].shape == o2["merged"][-1].shape
+
+
+def test_distill_loss_nonzero_without_refine():
+    """Regression: the per-block distillation loss (IFNet.py:239-248) must be
+    computed for every student block regardless of the refine flag — it was
+    silently 0.0 when refine=False."""
+    import jax
+    import jax.numpy as jnp
+
+    from opticalflowscivis_tpu.models import IFNet
+
+    net = IFNet(ndim=2, block_channels=(16, 12, 8), teacher_channels=8,
+                refine=False)
+    k = jax.random.PRNGKey(3)
+    img0 = jax.random.uniform(k, (2, 32, 32, 1))
+    img1 = jax.random.uniform(jax.random.fold_in(k, 1), (2, 32, 32, 1))
+    gt = jax.random.uniform(jax.random.fold_in(k, 2), (2, 32, 32, 1))
+    params = net.init(jax.random.PRNGKey(0), img0, img1, gt)
+    out = net.apply(params, img0, img1, gt)
+    assert float(out["loss_distill"]) > 0.0
