@@ -206,6 +206,8 @@ class IFNet(nn.Module):
                 worse = jax.lax.stop_gradient(
                     (err_stu > err_tea + 0.01).astype(jnp.float32)
                 )
+                # eps inside the sqrt: where student == teacher flow the
+                # bare sqrt has an infinite gradient (0*inf → NaN params)
                 rmse = jnp.sqrt(
                     jnp.mean(
                         (
@@ -215,6 +217,7 @@ class IFNet(nn.Module):
                         axis=-1,
                         keepdims=True,
                     )
+                    + 1e-12
                 )
                 loss_distill = loss_distill + jnp.mean(rmse * worse)
 

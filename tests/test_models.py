@@ -98,3 +98,25 @@ def test_distill_loss_nonzero_without_refine():
     params = net.init(jax.random.PRNGKey(0), img0, img1, gt)
     out = net.apply(params, img0, img1, gt)
     assert float(out["loss_distill"]) > 0.0
+
+
+def test_distill_gradients_finite_when_flows_coincide():
+    """Regression: √(mean(Δflow²)) has an infinite gradient at Δ=0 — the
+    distill RMSE needs an eps so coinciding student/teacher flow pixels
+    (common in bf16) don't NaN the whole gradient."""
+    import jax
+    import jax.numpy as jnp
+
+    from opticalflowscivis_tpu.models import IFNet
+
+    net = IFNet(ndim=2, block_channels=(16, 12, 8), teacher_channels=8)
+    k = jax.random.PRNGKey(1)
+    img0 = jax.random.uniform(k, (1, 32, 32, 1))
+    # identical inputs → all blocks predict (near-)zero flow → Δflow ≈ 0
+    params = net.init(k, img0, img0, img0)
+
+    def distill(p):
+        return net.apply(p, img0, img0, img0)["loss_distill"]
+
+    g = jax.grad(distill)(params)
+    assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(g))
