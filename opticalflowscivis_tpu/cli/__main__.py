@@ -321,7 +321,16 @@ def cmd_train_upflow(argv):
            if args.recipe == "ex_runner" else UPFlowTrainConfig(**kw))
     tr = UPFlowTrainer(cfg)
     if args.resume:
-        tr.init_state(pairs[:1])
+        from opticalflowscivis_tpu.data import pad_to_multiple
+
+        # mirror fit(): pad first and pass steps_per_epoch so the ex_runner
+        # exponential-LR schedule is built identically on resume
+        padded, _ = pad_to_multiple(pairs, cfg.pad_multiple, leading_axes=2)
+        n_data = tr.mesh.shape["data"]
+        batch = max(n_data,
+                    (min(cfg.batch_size, padded.shape[0]) // n_data) * n_data)
+        tr.init_state(padded[:1],
+                      steps_per_epoch=max(1, padded.shape[0] // batch))
         tr.load_checkpoint()
     hist = tr.fit(pairs, epochs=args.epochs)
     print(json.dumps({"final": hist[-1] if hist else None}), flush=True)
@@ -433,20 +442,29 @@ def cmd_select(argv):
         test = load_data(args.dataset, args.exp, "test", args.data_dir)
         padded, _ = pad_to_multiple(test[:2], cfg.pad_multiple, leading_axes=2)
         tr.init_state(padded, total_steps=1)
-        tr.load_checkpoint()
+        if not tr.load_checkpoint():
+            raise SystemExit(
+                "select needs a trained checkpoint (run `train` first, or "
+                "use --linear for the model-free baseline)"
+            )
         interp = Interpolator(tr.model, tr.state.params, cfg.pad_multiple)
+        cache: dict[int, np.ndarray] = {}
 
         def reconstruct(fr, factor):
-            recon, _ = interpolate_series(interp, fr, factor)
-            return recon
+            # selection_curve revisits args.factor — reuse that reconstruction
+            if factor not in cache:
+                cache[factor], _ = interpolate_series(interp, fr, factor)
+            return cache[factor]
 
+    # Everything runs in the model's [0,1] domain (data_range=1); PSNR values
+    # are identical to 255-scaling both sides.
     recon = reconstruct(frames, args.factor)
     n = min(frames.shape[0], recon.shape[0])
     selected, thr = select_timesteps(
-        frames[:n] * 255.0, recon[:n] * 255.0, args.factor, args.threshold
+        frames[:n], recon[:n], args.factor, args.threshold, data_range=1.0
     )
     factors = tuple(int(f) for f in args.factors.split(","))
-    curve = selection_curve(frames * 255.0, reconstruct, factors)
+    curve = selection_curve(frames, reconstruct, factors, data_range=1.0)
     report = {
         "dataset": args.dataset,
         "factor": args.factor,

@@ -65,7 +65,11 @@ def convert_5jets(
     components are assumed to align with the array axes in order; ``flow_scale``
     converts physical velocity to voxels/step in the *downsampled* grid.
     """
-    vel_files = sorted(glob.glob(os.path.join(src_dir, "Velocity", "ns_*_v.dat")))
+    # numeric step sort — lexicographic order scrambles 4- vs 5-digit steps
+    vel_files = sorted(
+        glob.glob(os.path.join(src_dir, "Velocity", "ns_*_v.dat")),
+        key=lambda p: int(os.path.basename(p).split("_")[1]),
+    )
     if limit:
         vel_files = vel_files[:limit]
     if not vel_files:

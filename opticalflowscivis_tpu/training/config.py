@@ -50,7 +50,9 @@ class ModelConfig:
     def preset_3d(**kw) -> "ModelConfig":
         kw.setdefault("bounded_warp_rz", 8)  # data velocities <= 8 px/step
         kw.setdefault("fast_warp_r", 8)
-        return ModelConfig(ndim=3, block_channels=(128, 64, 64), conv0_kernel=4, **kw)
+        kw.setdefault("block_channels", (128, 64, 64))
+        kw.setdefault("conv0_kernel", 4)
+        return ModelConfig(ndim=3, **kw)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -181,7 +181,7 @@ class Trainer:
             # Virtual indices >= len(data) select on-device flip augmentation.
             n = data.shape[0]
             batch = jnp.take(data, idx % n, axis=0)
-            if cfg.device_flip_aug:
+            if cfg.device_flip_aug and self.spec.flip_aug:
                 from opticalflowscivis_tpu.data.pipeline import device_flip_augment
 
                 batch = device_flip_augment(batch, idx // n, cfg.model.ndim)
@@ -240,7 +240,13 @@ class Trainer:
             else:  # streaming fallback: materialize the host augmentation
                 from opticalflowscivis_tpu.data.pipeline import flip_augment
 
-                train_tuples = flip_augment(train_tuples)
+                # flip_augment expects [T, *S, C] — flatten the tuple slots
+                # first (flipping the 5-D tuple array directly would mirror
+                # the slots axis and miss the flow-sign negation)
+                flat = train_tuples.reshape((-1,) + train_tuples.shape[2:])
+                train_tuples = flip_augment(flat).reshape(
+                    (-1,) + train_tuples.shape[1:]
+                )
 
         ds = TupleDataset(train_tuples, batch, seed=cfg.seed)
         self.steps_per_epoch = (train_tuples.shape[0] * aug) // batch

@@ -119,3 +119,29 @@ def test_empty_val_split_falls_back_to_train_batch(tiny_setup):
     empty = tuples[:0]
     hist = tr.fit(tuples[:16], empty, epochs=1, log_every=0)
     assert hist and np.isfinite(hist[-1]["loss_G"])
+
+
+def test_device_flip_streaming_fallback_matches_host(tiny_setup):
+    """When the HBM cache is disabled, device_flip_aug falls back to
+    materializing the host augmentation — must reshape tuple slots correctly
+    (regression: flipping the 5-D tuple array mirrored the slots axis)."""
+    import dataclasses
+
+    import jax
+
+    from opticalflowscivis_tpu.data import flip_augment
+
+    cfg, tuples = tiny_setup
+    base = tuples[:8]
+    hosted = flip_augment(base.reshape((-1,) + base.shape[2:])).reshape(
+        (-1,) + base.shape[1:]
+    )
+    cfg_fb = dataclasses.replace(cfg, device_flip_aug=True, hbm_dataset_gb=0.0)
+    tr_fb = Trainer(cfg_fb)
+    tr_host = Trainer(dataclasses.replace(cfg, hbm_dataset_gb=0.0))
+    h1 = tr_fb.fit(base, tuples[24:32], epochs=1, log_every=0)
+    h2 = tr_host.fit(hosted, tuples[24:32], epochs=1, log_every=0)
+    np.testing.assert_allclose(h1[-1]["loss_G"], h2[-1]["loss_G"], rtol=1e-6)
+    for x, y in zip(jax.tree.leaves(tr_fb.state.params),
+                    jax.tree.leaves(tr_host.state.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
