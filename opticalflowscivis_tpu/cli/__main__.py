@@ -44,7 +44,9 @@ def _build_cfg(args, epochs=None, batch_size=None):
             return TrainConfig.from_json(f.read())
     spec = get_spec(args.dataset)
     if spec.ndim == 3:
-        model = ModelConfig.preset_3d()
+        # remat: a 64^3 train step at useful batch sizes exceeds one chip's
+        # HBM without rematerializing the IFBlocks (SURVEY.md §7 risks)
+        model = ModelConfig.preset_3d(remat=True)
         loss = RIFELossWeights.preset_3d()
     else:
         model = ModelConfig.preset_2d()
@@ -382,11 +384,14 @@ def cmd_test_upflow(argv):
             k: float(np.mean([r[k] for r in results])) for k in results[0]
         }
     else:
+        from opticalflowscivis_tpu.data import get_spec
         from opticalflowscivis_tpu.data.registry import load_raw_series
         from opticalflowscivis_tpu.viz import visualize_series_flow
 
-        frames = load_raw_series(args.dataset, args.data_dir, "test")[..., :1]
-        frames = frames[: args.max_frames]
+        spec = get_spec(args.dataset)
+        series = load_raw_series(args.dataset, args.data_dir, "test")
+        series = series[: args.max_frames]
+        frames = series[..., :1]
         pairs = frames_to_pairs(frames, in_channels=3)
         if tr.state is None:
             from opticalflowscivis_tpu.data import pad_to_multiple
@@ -402,6 +407,15 @@ def cmd_test_upflow(argv):
             "mean_flow_mag": float(np.mean(np.linalg.norm(flow, axis=-1))),
             "frames": int(frames.shape[0]),
         }
+        if spec.has_flow and series.shape[-1] == 1 + spec.ndim:
+            # EPE vs the dataset's GT per-step displacement (frame t → t+1):
+            # flow_f predicts exactly that motion for each (t, t+1) pair
+            gt = series[:-1, ..., 1 : 1 + spec.ndim]
+            err = np.linalg.norm(flow - gt, axis=-1)
+            report["scivis"]["epe"] = float(err.mean())
+            report["scivis"]["epe_zero_flow_baseline"] = float(
+                np.linalg.norm(gt, axis=-1).mean()
+            )
     print(json.dumps(report), flush=True)
 
 
