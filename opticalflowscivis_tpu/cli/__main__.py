@@ -89,13 +89,7 @@ def cmd_train(argv):
     tr = Trainer(cfg)
     train, val = tr.load_datasets()
     print(f"train tuples {train.shape}, val tuples {val.shape}", flush=True)
-    if args.resume:
-        # needs an initialized state to restore into
-        batch = cfg.batch_size or tr.spec.batch_size
-        tr.init_state(train[: min(batch, train.shape[0])],
-                      total_steps=max(1, cfg.epochs * (train.shape[0] // max(batch, 1))))
-        tr.load_checkpoint()
-    hist = tr.fit(train, val)
+    hist = tr.fit(train, val, resume=args.resume)
     print(json.dumps({"final_val": hist[-1] if hist else None}), flush=True)
 
 
@@ -133,7 +127,7 @@ def cmd_test(argv):
 
     flow_gt = None
     if spec.has_flow:
-        flow_gt = test[:, 2, ..., 1 : 1 + spec.ndim]
+        flow_gt = test[:, 2, ..., 1 : 1 + spec.ndim] * spec.gt_flow_stride
         ndim = spec.ndim
         report["epe_ft1"] = float(epe(jnp.asarray(res["flow"][..., ndim:]),
                                       jnp.asarray(flow_gt)))
@@ -322,19 +316,7 @@ def cmd_train_upflow(argv):
     cfg = (UPFlowTrainConfig.preset_ex_runner(**kw)
            if args.recipe == "ex_runner" else UPFlowTrainConfig(**kw))
     tr = UPFlowTrainer(cfg)
-    if args.resume:
-        from opticalflowscivis_tpu.data import pad_to_multiple
-
-        # mirror fit(): pad first and pass steps_per_epoch so the ex_runner
-        # exponential-LR schedule is built identically on resume
-        padded, _ = pad_to_multiple(pairs, cfg.pad_multiple, leading_axes=2)
-        n_data = tr.mesh.shape["data"]
-        batch = max(n_data,
-                    (min(cfg.batch_size, padded.shape[0]) // n_data) * n_data)
-        tr.init_state(padded[:1],
-                      steps_per_epoch=max(1, padded.shape[0] // batch))
-        tr.load_checkpoint()
-    hist = tr.fit(pairs, epochs=args.epochs)
+    hist = tr.fit(pairs, epochs=args.epochs, resume=args.resume)
     print(json.dumps({"final": hist[-1] if hist else None}), flush=True)
 
 
@@ -408,9 +390,10 @@ def cmd_test_upflow(argv):
             "frames": int(frames.shape[0]),
         }
         if spec.has_flow and series.shape[-1] == 1 + spec.ndim:
-            # EPE vs the dataset's GT per-step displacement (frame t → t+1):
-            # flow_f predicts exactly that motion for each (t, t+1) pair
-            gt = series[:-1, ..., 1 : 1 + spec.ndim]
+            # EPE vs the dataset's GT frame-to-frame displacement: stored flow
+            # units are converted via spec.gt_flow_stride (e.g. lbs2d stores
+            # per-sim-step velocity but keeps every 10th frame)
+            gt = series[:-1, ..., 1 : 1 + spec.ndim] * spec.gt_flow_stride
             err = np.linalg.norm(flow - gt, axis=-1)
             report["scivis"]["epe"] = float(err.mean())
             report["scivis"]["epe_zero_flow_baseline"] = float(
@@ -465,10 +448,14 @@ def cmd_select(argv):
         cache: dict[int, np.ndarray] = {}
 
         def reconstruct(fr, factor):
-            # selection_curve revisits args.factor — reuse that reconstruction
-            if factor not in cache:
-                cache[factor], _ = interpolate_series(interp, fr, factor)
-            return cache[factor]
+            # selection_curve revisits args.factor — cache just that one
+            # (retaining every factor's series would hold N full copies)
+            if factor in cache:
+                return cache[factor]
+            recon, _ = interpolate_series(interp, fr, factor)
+            if factor == args.factor:
+                cache[factor] = recon
+            return recon
 
     # Everything runs in the model's [0,1] domain (data_range=1); PSNR values
     # are identical to 255-scaling both sides.

@@ -50,6 +50,11 @@ class DatasetSpec:
     resample_stride: int = 3  # every-3rd w/ phase shifts; 0 = off (3-D path)
     flip_aug: bool = True
     val_pkl_file: str | None = None  # droplet3d ships pre-split train/val pkls
+    gt_flow_stride: float = 1.0  # stored flow units → pixels per stored frame.
+    #   Synthetic generators stamp the exact per-frame displacement (1.0); the
+    #   LBS export stores instantaneous velocity sampled every 10 sim steps, so
+    #   displacement ≈ 10 x stored value (approximate for unsteady flow).
+    #   External NetCDF velocity pkls keep 1.0 — physical units are unknown.
 
 
 def _spec(**kw) -> DatasetSpec:
@@ -73,6 +78,7 @@ REGISTRY: dict[str, DatasetSpec] = {
         train=[(0, 2205)], val=[(2370, 2685)], test=[(2685, 3000)],
         batch_size=100, pkl_file="lbs2d_skip_.pkl",
         generator=None,  # set below — lbs module imports jax, keep import local
+        gt_flow_stride=10.0,  # velocity stored per sim step, frames kept every 10
     ),
     "droplet2d": _spec(
         name="droplet2d", ndim=2, has_flow=False,

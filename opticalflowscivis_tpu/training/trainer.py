@@ -77,11 +77,14 @@ def split_batch(batch: jax.Array, ndim: int, has_flow: bool):
     return img0, img1, gt, gt_flow
 
 
-def make_train_step(model: IFNet, cfg: TrainConfig, has_flow: bool):
+def make_train_step(model: IFNet, cfg: TrainConfig, has_flow: bool,
+                    gt_flow_scale: float = 1.0):
     ndim = cfg.model.ndim
 
     def loss_fn(params, batch):
         img0, img1, gt, gt_flow = split_batch(batch, ndim, has_flow)
+        if gt_flow is not None and gt_flow_scale != 1.0:
+            gt_flow = gt_flow * gt_flow_scale  # stored units → px/frame
         outputs = model.apply(params, img0, img1, gt)
         return rife_losses(
             outputs, img0, img1, gt, params, cfg.loss, ndim, gt_flow=gt_flow
@@ -96,6 +99,8 @@ def make_train_step(model: IFNet, cfg: TrainConfig, has_flow: bool):
 
     def eval_step(state: TrainState, batch: jax.Array):
         img0, img1, gt, gt_flow = split_batch(batch, ndim, has_flow)
+        if gt_flow is not None and gt_flow_scale != 1.0:
+            gt_flow = gt_flow * gt_flow_scale
         outputs = model.apply(state.params, img0, img1, gt)
         _, parts = rife_losses(
             outputs, img0, img1, gt, state.params, cfg.loss, ndim, gt_flow=gt_flow
@@ -129,7 +134,8 @@ class Trainer:
         self.model = build_model(cfg)
         self.has_flow = self.spec.has_flow and cfg.loss.flow > 0
         self._train_step_fn, self._eval_step_fn = make_train_step(
-            self.model, cfg, self.has_flow
+            self.model, cfg, self.has_flow,
+            gt_flow_scale=self.spec.gt_flow_stride,
         )
         if cfg.spatial_shard:
             # volumes: depth axis over 'space' (GSPMD inserts conv halos)
@@ -215,7 +221,10 @@ class Trainer:
     # -- loops ------------------------------------------------------------
     def fit(self, train_tuples: np.ndarray, val_tuples: np.ndarray,
             epochs: int | None = None, log_every: int = 50,
-            on_epoch_end=None):
+            on_epoch_end=None, resume: bool = False):
+        """Train.  ``resume=True`` restores the checkpoint after building the
+        optimizer with the *actual* step count (aug-extended, mesh-rounded) —
+        resuming from a CLI-side init would mis-size the LR schedule."""
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.epochs
         batch = cfg.batch_size or self.spec.batch_size
@@ -253,6 +262,8 @@ class Trainer:
         total_steps = max(self.steps_per_epoch * epochs, 1)
         if self.state is None:
             self.init_state(train_tuples[:batch], total_steps)
+            if resume:
+                self.load_checkpoint()
 
         if val_tuples.shape[0] == 0:
             # tiny series can produce an empty val split — fall back to a

@@ -166,7 +166,8 @@ class UPFlowTrainer:
         )
         return self.state
 
-    def fit(self, pairs: np.ndarray, epochs: int | None = None, log_every: int = 20):
+    def fit(self, pairs: np.ndarray, epochs: int | None = None,
+            log_every: int = 20, resume: bool = False):
         cfg = self.cfg
         pairs, _ = pad_to_multiple(pairs, cfg.pad_multiple, leading_axes=2)
         epochs = epochs if epochs is not None else cfg.n_epoch
@@ -181,6 +182,8 @@ class UPFlowTrainer:
         if self.state is None:
             self.init_state(pairs[:1],
                             steps_per_epoch=max(1, pairs.shape[0] // batch))
+            if resume:
+                self.load_checkpoint()
         history = []
         t0 = time.time()
         step = 0
