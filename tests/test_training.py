@@ -145,3 +145,38 @@ def test_device_flip_streaming_fallback_matches_host(tiny_setup):
     for x, y in zip(jax.tree.leaves(tr_fb.state.params),
                     jax.tree.leaves(tr_host.state.params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_gt_flow_scale_threads_into_supervision(tiny_setup):
+    """make_train_step(gt_flow_scale=k) scales the supervision target — the
+    lbs2d velocity-vs-displacement unit fix (registry gt_flow_stride)."""
+    import jax.numpy as jnp
+
+    from opticalflowscivis_tpu.training.trainer import (
+        build_model,
+        make_train_step,
+    )
+
+    cfg, tuples = tiny_setup
+    model = build_model(cfg)
+    import jax
+
+    batch = jnp.asarray(tuples[:2])
+    img0 = batch[:, 0, ..., :1]
+    params = model.init(jax.random.PRNGKey(0), img0, img0, img0)
+
+    def eval_parts(scale):
+        _, ev = make_train_step(model, cfg, has_flow=True, gt_flow_scale=scale)
+        parts, _ = ev(
+            __import__("flax").training.train_state.TrainState.create(
+                apply_fn=model.apply, params=params,
+                tx=__import__("optax").sgd(0.0)),
+            batch,
+        )
+        return parts
+
+    p1, p10 = eval_parts(1.0), eval_parts(10.0)
+    # scaled GT flow must change the flow-supervision loss, nothing else wildly
+    assert float(p10["loss_flow"]) != float(p1["loss_flow"])
+    np.testing.assert_allclose(float(p10["loss_l1"]), float(p1["loss_l1"]),
+                               rtol=1e-6)
