@@ -36,6 +36,13 @@ class RIFELossWeights:
     smooth: float = 0.0
     flow: float = 0.0
     use_lap: bool = True  # LapLoss for reconstruction; False -> plain L1 (3-D)
+    # Framework-specific stabilizer (no reference equivalent): the bounded TPU
+    # warps (fast_warp_r / bounded_warp_rz) have zero gradient for |flow| > r,
+    # so flows that drift past the radius freeze every warp and collapse
+    # training.  The leash penalizes the excess with a live gradient, pulling
+    # escaped flows back inside the kernels' exact region.
+    flow_leash: float = 0.0  # weight; 0 = off
+    flow_leash_radius: float = 0.0  # radius r (match the warp radius)
 
     @staticmethod
     def preset_2d(flow_supervised: bool = False) -> "RIFELossWeights":
@@ -119,6 +126,15 @@ def rife_losses(
         else jnp.zeros((), jnp.float32)
     )
 
+    loss_leash = jnp.zeros((), jnp.float32)
+    if weights.flow_leash and weights.flow_leash_radius:
+        r = weights.flow_leash_radius
+        for f in list(flow_list) + (
+            [flow_teacher] if flow_teacher is not None else []
+        ):
+            excess = jax.nn.relu(jnp.abs(f.astype(jnp.float32)) - (r - 1.0))
+            loss_leash = loss_leash + jnp.mean(excess**2)
+
     parts = {
         "loss_l1": loss_l1 * weights.l1,
         "loss_tea": loss_tea * weights.tea,
@@ -128,6 +144,8 @@ def rife_losses(
         "loss_smooth": loss_smooth * weights.smooth,
         "loss_flow": loss_flow * weights.flow,
     }
+    if weights.flow_leash and weights.flow_leash_radius:
+        parts["loss_leash"] = loss_leash * weights.flow_leash
     loss_G = sum(parts.values())
     parts["loss_G"] = loss_G
     return loss_G, parts

@@ -120,3 +120,40 @@ def test_distill_gradients_finite_when_flows_coincide():
 
     g = jax.grad(distill)(params)
     assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(g))
+
+
+def test_flow_leash_penalizes_escaped_flows():
+    """flow_leash: zero inside the warp radius, positive + differentiable for
+    flows beyond it (the bounded-warp collapse stabilizer)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from opticalflowscivis_tpu.losses.rife import RIFELossWeights, rife_losses
+
+    w = dataclasses.replace(RIFELossWeights.preset_3d(),
+                            flow_leash=1.0, flow_leash_radius=8.0)
+
+    def fake_outputs(mag):
+        f = jnp.full((1, 4, 4, 4, 6), mag, jnp.float32)
+        m = jnp.zeros((1, 4, 4, 4, 1))
+        return {
+            "flow_list": [f, f, f], "mask_list": [m, m, m],
+            "merged": [m, m, m], "flow_teacher": f, "merged_teacher": m,
+            "loss_distill": jnp.zeros(()),
+        }
+
+    img = jnp.zeros((1, 4, 4, 4, 1))
+    _, p_in = rife_losses(fake_outputs(3.0), img, img, img, {}, w, 3)
+    _, p_out = rife_losses(fake_outputs(12.0), img, img, img, {}, w, 3)
+    assert float(p_in["loss_leash"]) == 0.0
+    assert float(p_out["loss_leash"]) > 0.0
+
+    def leash(mag):
+        return rife_losses(fake_outputs(mag), img, img, img, {}, w, 3)[1][
+            "loss_leash"
+        ]
+
+    g = jax.grad(lambda m: leash(m))(12.0)
+    assert float(g) > 0.0  # live gradient pulls escaped flows back
