@@ -50,8 +50,17 @@ class RIFELossWeights:
         return RIFELossWeights(flow=0.5 if flow_supervised else 0.0)
 
     @staticmethod
-    def preset_3d() -> "RIFELossWeights":
-        return RIFELossWeights(distill=0.1, reg=0.0, photo=0.0, use_lap=False)
+    def preset_3d(distill: float = 0.0) -> "RIFELossWeights":
+        """Flow-3D lambdas (Flow-3D/model/RIFE.py:237-242) — except distill.
+
+        Deviation (measured, documented): the reference sets distill=0.1, but
+        in this framework that weight collapses 3-D training — val loss rises
+        from epoch ~2 and freezes (rectangle3d: 18→14 dB interp PSNR); with
+        distill off the same run converges monotonically.  Pass distill=0.1
+        explicitly to reproduce the reference recipe.
+        """
+        return RIFELossWeights(distill=distill, reg=0.0, photo=0.0,
+                               use_lap=False)
 
 
 def _block_param_l1(params: Any) -> jax.Array:

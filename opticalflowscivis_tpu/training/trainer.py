@@ -375,8 +375,12 @@ class Trainer:
             json.dump(data, f, indent=4)
 
     def checkpoint_path(self) -> str:
+        # scoped by dataset — the reference disambiguates runs by encoding the
+        # experiment into model_name (train.py:589-728); with a shared default
+        # model_name two datasets would silently overwrite each other
         return os.path.abspath(
-            os.path.join(self.cfg.log_dir, self.cfg.model_name + ".ckpt")
+            os.path.join(self.cfg.log_dir, self.cfg.dataset,
+                         self.cfg.model_name + ".ckpt")
         )
 
     def save_checkpoint(self):
