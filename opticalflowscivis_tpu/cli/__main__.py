@@ -66,9 +66,12 @@ def _build_cfg(args, epochs=None, batch_size=None):
         loss=loss,
         early_stop_patience=1000 if spec.ndim == 3 else 0,  # Flow-3D/train.py:400-412
         keep_best_only=spec.ndim == 3,
-        # 3-D volumes: bf16 HBM cache + on-device flips keep 64^3 training
-        # fully device-resident (the host-augmented f32 set would be ~38 GB)
-        device_flip_aug=spec.ndim == 3,
+        # On-device flip augmentation whenever the dataset flips: bit-equal to
+        # the host augmentation (tested) with 4x fewer HBM-cached bytes, which
+        # keeps large 2-D sets (vortex2d: 11.4 GB augmented) device-resident
+        # instead of falling back to relay streaming (~22x slower).  3-D adds
+        # the bf16 cache (the host-augmented f32 64^3 set would be ~38 GB).
+        device_flip_aug=spec.flip_aug,
         hbm_dataset_dtype="bfloat16" if spec.ndim == 3 else "float32",
     )
 
@@ -80,6 +83,11 @@ def cmd_train(argv):
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--flow_supervised", action="store_true")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--vimeo_root", default=None,
+                   help="Vimeo90K triplet root (required for --dataset vimeo2d)")
+    p.add_argument("--steps_per_epoch", type=int, default=0,
+                   help="streamed datasets (vimeo2d): steps per epoch "
+                        "(0 = len(dataset) // batch)")
     args = p.parse_args(argv)
     _maybe_cpu(args)
 
@@ -87,9 +95,24 @@ def cmd_train(argv):
 
     cfg = _build_cfg(args)
     tr = Trainer(cfg)
-    train, val = tr.load_datasets()
-    print(f"train tuples {train.shape}, val tuples {val.shape}", flush=True)
-    hist = tr.fit(train, val, resume=args.resume)
+    if args.dataset == "vimeo2d":
+        # streamed triplets w/ per-step random crops (train.py:78-100)
+        if not args.vimeo_root:
+            raise SystemExit("--dataset vimeo2d requires --vimeo_root")
+        from opticalflowscivis_tpu.data.vimeo import VimeoDataset
+
+        batch = cfg.batch_size or 16
+        ds = VimeoDataset(args.vimeo_root, split="train")
+        ds_val = VimeoDataset(args.vimeo_root, split="test")
+        spe = args.steps_per_epoch or max(len(ds) // batch, 1)
+        val = ds_val.sample(min(len(ds_val), 4 * batch))
+        print(f"vimeo: {len(ds)} train triplets, val {val.shape}", flush=True)
+        hist = tr.fit_stream(lambda: ds.sample(batch), val, spe,
+                             resume=args.resume)
+    else:
+        train, val = tr.load_datasets()
+        print(f"train tuples {train.shape}, val tuples {val.shape}", flush=True)
+        hist = tr.fit(train, val, resume=args.resume)
     print(json.dumps({"final_val": hist[-1] if hist else None}), flush=True)
 
 
@@ -293,10 +316,14 @@ def cmd_train_upflow(argv):
                    help="simple = scripts/simple_train.py; ex_runner = "
                         "scripts/ex_runner.py (eq/oi spatial-transform distill)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--kitti_image_dir", default=None,
+                   help="KITTI multiview image dir (with --dataset kitti): "
+                        "random crops + boundary-dilated warping")
+    p.add_argument("--steps_per_epoch", type=int, default=0,
+                   help="KITTI path: steps per epoch (0 = len(pairs) // batch)")
     args = p.parse_args(argv)
     _maybe_cpu(args)
 
-    from opticalflowscivis_tpu.data.registry import load_raw_series
     from opticalflowscivis_tpu.losses.upflow import UPFlowLossConfig
     from opticalflowscivis_tpu.training.upflow_trainer import (
         UPFlowTrainConfig,
@@ -304,8 +331,6 @@ def cmd_train_upflow(argv):
         frames_to_pairs,
     )
 
-    frames = load_raw_series(args.dataset, args.data_dir, "train")[..., :1]
-    pairs = frames_to_pairs(frames, in_channels=3)
     kw = dict(
         batch_size=args.batch_size,
         n_epoch=args.epochs,
@@ -316,7 +341,23 @@ def cmd_train_upflow(argv):
     cfg = (UPFlowTrainConfig.preset_ex_runner(**kw)
            if args.recipe == "ex_runner" else UPFlowTrainConfig(**kw))
     tr = UPFlowTrainer(cfg)
-    hist = tr.fit(pairs, epochs=args.epochs, resume=args.resume)
+    if args.dataset == "kitti":
+        # ⇔ simple_train.py on KITTI multiview (kitti_data_with_start_point):
+        # offset-returning crops feed boundary-dilated photometric warping
+        if not args.kitti_image_dir:
+            raise SystemExit("--dataset kitti requires --kitti_image_dir")
+        from opticalflowscivis_tpu.data.kitti import KittiPairDataset
+
+        ds = KittiPairDataset(args.kitti_image_dir)
+        spe = args.steps_per_epoch or max(len(ds) // args.batch_size, 1)
+        print(f"kitti: {len(ds)} multiview pairs, {spe} steps/epoch", flush=True)
+        hist = tr.fit_kitti(ds, spe, epochs=args.epochs, resume=args.resume)
+    else:
+        from opticalflowscivis_tpu.data.registry import load_raw_series
+
+        frames = load_raw_series(args.dataset, args.data_dir, "train")[..., :1]
+        pairs = frames_to_pairs(frames, in_channels=3)
+        hist = tr.fit(pairs, epochs=args.epochs, resume=args.resume)
     print(json.dumps({"final": hist[-1] if hist else None}), flush=True)
 
 

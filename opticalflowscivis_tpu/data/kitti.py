@@ -86,12 +86,34 @@ def _read_gray(path: str) -> np.ndarray:
     return img[..., ::-1].astype(np.float32) / 255.0  # BGR→RGB
 
 
+# BGR channel means of img_func.get_process_img (kitti_dataset.py:97-143),
+# reversed to RGB; its stddev is 1/0.0039216 = 255, i.e. the normalized image
+# is (pixel255 - mean)/255 = pixel01 - mean/255.
+_KITTI_MEAN_RGB01 = np.asarray([114.785955, 110.1753, 104.920005], np.float32) / 255.0
+
+
+def kitti_photometric_normalize(img01: np.ndarray) -> np.ndarray:
+    """Reference input normalization ⇔ img_func.get_process_img
+    (UPFlow/dataset/kitti_dataset.py:97-143): subtract the fixed per-channel
+    mean (UnFlow convention) from a [0,1] RGB image."""
+    return img01 - _KITTI_MEAN_RGB01
+
+
 class KittiPairDataset:
     """Multiview frame-pair sampler with offset-returning random crops.
 
-    ⇔ ``kitti_data_with_start_point`` (kitti_dataset.py:341-431).  Yields
-    (im1, im2, start) where start is the (row, col) crop offset into the
-    uncropped image — consumed by boundary-dilated warping.
+    ⇔ ``kitti_data_with_start_point`` (kitti_dataset.py:341-431): random crops
+    with margin ``rho``, horizontal-flip and image-swap augmentation, and the
+    reference's photometric input normalization (img_func.get_process_img,
+    :97-143).  ``sample`` returns a dict batch for ``UPFlowTrainer``:
+
+    - ``im1``/``im2`` [B, ch, cw, 3] — the training crops;
+    - ``im1_raw``/``im2_raw`` [B, ch+2*rho, cw+2*rho, 3] — the rho-dilated
+      windows around each crop, with ``start`` [B, 2] = (rho, rho), consumed by
+      boundary-dilated warping (tools.py:393-541).  The reference carries the
+      full uncropped image instead; a fixed dilated window keeps shapes static
+      for jit and covers flows up to rho px beyond the crop boundary (beyond
+      that both implementations clamp at their respective borders).
     """
 
     def __init__(
@@ -100,7 +122,7 @@ class KittiPairDataset:
         crop: tuple[int, int] = (256, 832),
         rho: int = 8,
         seed: int = 0,
-        pattern: str = "*_1[01].png",
+        normalize: bool = True,
     ):
         self.files = sorted(glob.glob(os.path.join(image_dir, "*.png")))
         # consecutive multiview frames of the same sequence form pairs
@@ -114,35 +136,42 @@ class KittiPairDataset:
             self.pairs.extend(list(zip(frames[:-1], frames[1:])))
         self.crop = crop
         self.rho = rho
+        self.normalize = normalize
         self.rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
         return len(self.pairs)
 
-    def sample(self, batch_size: int):
-        """Random batch: (im1 [B,h,w,3], im2, start [B,2]) with flip/swap aug."""
+    def sample(self, batch_size: int) -> dict[str, np.ndarray]:
+        """Random augmented batch dict (see class docstring)."""
         ch, cw = self.crop
-        im1s, im2s, starts = [], [], []
+        rho = self.rho
+        out: dict[str, list] = {k: [] for k in ("im1", "im2", "im1_raw", "im2_raw")}
         for _ in range(batch_size):
             a, b = self.pairs[int(self.rng.integers(len(self.pairs)))]
             i1, i2 = _read_gray(a), _read_gray(b)
+            if self.normalize:
+                i1 = kitti_photometric_normalize(i1)
+                i2 = kitti_photometric_normalize(i2)
             h, w = i1.shape[:2]
-            y0 = int(self.rng.integers(self.rho, max(h - ch - self.rho, self.rho) + 1))
-            x0 = int(self.rng.integers(self.rho, max(w - cw - self.rho, self.rho) + 1))
+            # crop offset ∈ [rho, dim - crop - rho] so the dilated window fits
+            y0 = int(self.rng.integers(rho, max(h - ch - rho, rho) + 1))
+            x0 = int(self.rng.integers(rho, max(w - cw - rho, rho) + 1))
             c1 = i1[y0 : y0 + ch, x0 : x0 + cw]
             c2 = i2[y0 : y0 + ch, x0 : x0 + cw]
+            r1 = i1[y0 - rho : y0 + ch + rho, x0 - rho : x0 + cw + rho]
+            r2 = i2[y0 - rho : y0 + ch + rho, x0 - rho : x0 + cw + rho]
             if self.rng.random() < 0.5:  # hflip (kitti_dataset.py:420-431)
                 c1, c2 = c1[:, ::-1], c2[:, ::-1]
+                r1, r2 = r1[:, ::-1], r2[:, ::-1]
             if self.rng.random() < 0.5:  # temporal swap
                 c1, c2 = c2, c1
-            im1s.append(c1)
-            im2s.append(c2)
-            starts.append((y0, x0))
-        return (
-            np.stack(im1s).astype(np.float32),
-            np.stack(im2s).astype(np.float32),
-            np.asarray(starts, np.float32),
-        )
+                r1, r2 = r2, r1
+            for k, v in zip(("im1", "im2", "im1_raw", "im2_raw"), (c1, c2, r1, r2)):
+                out[k].append(v)
+        batch = {k: np.stack(v).astype(np.float32) for k, v in out.items()}
+        batch["start"] = np.full((batch_size, 2), float(rho), np.float32)
+        return batch
 
 
 def load_kitti_eval_pairs(root: str, split: str = "training", year: int = 2015):

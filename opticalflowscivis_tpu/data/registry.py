@@ -80,6 +80,25 @@ REGISTRY: dict[str, DatasetSpec] = {
         generator=None,  # set below — lbs module imports jax, keep import local
         gt_flow_stride=10.0,  # velocity stored per sim step, frames kept every 10
     ),
+    "vortex2d": _spec(
+        # Vortex-street analogue of the reference's headline pipedcylinder2d
+        # (450x150x1501, README.md:15): the same D2Q9 cylinder-wake simulation
+        # as lbs2d but sampled every 40th step instead of every 10th, so the
+        # kept-frame motion is advective (~1.6 px mean, ~4.4 px p95 per frame)
+        # rather than sub-pixel — at every-10th sampling linear cross-fade is
+        # unbeatable by construction (measured, RESULTS.md round 1).
+        name="vortex2d", ndim=2, has_flow=True,
+        train=[(0, 1050)], val=[(1050, 1200)], test=[(1200, 1500)],
+        batch_size=64, generator=None,  # set below (lbs imports jax)
+        gt_flow_stride=40.0,
+        # no every-3rd resample: consecutive-frame triplets keep the flow
+        # supervision target exact (F_t→±1 spans one stored frame = v*40) and
+        # match the factor-2 test spacing.  The reference resamples stride 3
+        # AND supervises with per-frame GT flow — a 3x span/target mismatch
+        # (load_datasets.py:227-240 vs RIFE.py:131-141) not worth reproducing
+        # on the quality-parity dataset.
+        resample_stride=0,
+    ),
     "droplet2d": _spec(
         name="droplet2d", ndim=2, has_flow=False,
         train=[(0, 51300)], val=[(51300, 54000)], test=[(0, 2700)],
@@ -99,6 +118,13 @@ REGISTRY: dict[str, DatasetSpec] = {
         name="FluidSimML2d", ndim=2, has_flow=True,
         train=[(100, 820)], val=[(820, 964)], test=[(820, 964)],
         batch_size=64, pkl_file="FluidSimML2d.pkl",
+    ),
+    "vimeo2d": _spec(  # Vimeo90K triplets (Flow-2D/dataset.py, train.py:78-100).
+        # Streamed via data.vimeo.VimeoDataset (random crops each step), not
+        # the pkl pipeline — slices are unused; flip aug lives in the dataset.
+        name="vimeo2d", ndim=2, has_flow=False,
+        train=[(None, None)], val=[(None, None)], test=[(None, None)],
+        batch_size=16, resample_stride=0, flip_aug=False,
     ),
     # ---- 3-D (Flow-3D/load_datasets.py; no temporal resample, L1-style path) ----
     "rectangle3d": _spec(
@@ -142,6 +168,18 @@ def _lbs_generator() -> np.ndarray:
 
 
 REGISTRY["lbs2d"] = dataclasses.replace(REGISTRY["lbs2d"], generator=_lbs_generator)
+
+
+def _vortex_generator() -> np.ndarray:
+    from opticalflowscivis_tpu.data.lbs import lattice_boltzmann_2d
+
+    # 6000-step burn-in (fully developed shedding), then 1500 frames @ stride 40
+    return lattice_boltzmann_2d(n_steps=66000, skip=6000, sample_every=40)
+
+
+REGISTRY["vortex2d"] = dataclasses.replace(
+    REGISTRY["vortex2d"], generator=_vortex_generator
+)
 
 
 def get_spec(dataset: str) -> DatasetSpec:

@@ -27,17 +27,37 @@ from opticalflowscivis_tpu.ops import ssim
 class Interpolator:
     """Jitted student-only IFNet forward with automatic /32 padding."""
 
-    def __init__(self, model: IFNet, params, pad_multiple: int = 32):
+    def __init__(self, model: IFNet, params, pad_multiple: int = 32,
+                 tta: bool = False):
         self.model = model
         self.params = params
         self.pad_multiple = pad_multiple
+        self.tta = tta
 
         @jax.jit
         def _forward(params, img0, img1, timestep):
             out = model.apply(params, img0, img1, None, timestep=timestep)
             return out["merged"][-1], out["flow_list"][-1], out["mask_list"][-1]
 
-        self._forward = _forward
+        @jax.jit
+        def _forward_tta(params, img0, img1, timestep):
+            """Flip-averaged inference ⇔ RIFE.py:66-78 (TTA=True).
+
+            Second pass on inputs mirrored along every spatial axis; the
+            un-mirrored merged frames are averaged.  The reference returns only
+            the merged frame in TTA mode; flow/mask here stay from the primary
+            pass.  Note the reference evaluates the flipped pass at the SAME
+            timestep (no 1-t reversal) — mirrored here.
+            """
+            merged, flow, mask = _forward(params, img0, img1, timestep)
+            spatial = tuple(range(1, img0.ndim - 1))
+            m2, _, _ = _forward(
+                params, jnp.flip(img0, spatial), jnp.flip(img1, spatial), timestep
+            )
+            return (merged + jnp.flip(m2, spatial)) / 2, flow, mask
+
+        self._forward_plain = _forward
+        self._forward = _forward_tta if tta else _forward
 
     def _pad(self, x: np.ndarray):
         m = self.pad_multiple

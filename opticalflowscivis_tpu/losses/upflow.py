@@ -155,8 +155,17 @@ def upflow_losses(
     im1: jax.Array,
     im2: jax.Array,
     cfg: UPFlowLossConfig,
+    raw: tuple[jax.Array, jax.Array, jax.Array] | None = None,
 ):
-    """(total, parts) from UPFlowNet outputs — upflow.py:461-573 composition."""
+    """(total, parts) from UPFlowNet outputs — upflow.py:461-573 composition.
+
+    ``raw = (im1_raw, im2_raw, start)`` enables boundary-dilated warping
+    (upflow.py:499-512 w/ if_use_boundary_warp): the photometric/census warps
+    sample the *uncropped* images at the crop offset ``start [B, 2]``, so flow
+    vectors pointing outside the training crop hit real pixels instead of
+    border padding.  ``None`` keeps the border-padded warp (the zero-offset
+    case — what the reference's executed path does, upflow.py:503-506 sets
+    start=0 and im*_raw to the crop itself)."""
     flow_f, flow_b = outputs["flow_f"], outputs["flow_b"]
     flows = outputs["flows"]
 
@@ -188,8 +197,15 @@ def upflow_losses(
 
     # --- photometric loss (full-frame boundary handling: border-padded warp is
     # the zero-crop-offset case of the reference's boundary_dilated_warp)
-    im1_warp = backward_warp(im2, flow_f, padding="border")
-    im2_warp = backward_warp(im1, flow_b, padding="border")
+    if raw is not None:
+        from opticalflowscivis_tpu.ops import boundary_dilated_warp
+
+        im1_raw, im2_raw, start = raw
+        im1_warp = boundary_dilated_warp(im2_raw, flow_f, start)
+        im2_warp = boundary_dilated_warp(im1_raw, flow_b, start)
+    else:
+        im1_warp = backward_warp(im2, flow_f, padding="border")
+        im2_warp = backward_warp(im1, flow_b, padding="border")
     photo = photo_loss_multi_type(
         im1, im1_warp, occ_fw, cfg.photo_loss_type, cfg.photo_loss_delta,
         cfg.photo_loss_use_occ,

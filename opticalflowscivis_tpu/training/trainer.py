@@ -324,6 +324,62 @@ class Trainer:
                 on_epoch_end(epoch, val_parts)
         return history
 
+    def fit_stream(self, sample_fn, val_tuples: np.ndarray,
+                   steps_per_epoch: int, epochs: int | None = None,
+                   log_every: int = 50, resume: bool = False):
+        """Train from a host-side batch sampler instead of a fixed tuple array.
+
+        ``sample_fn() -> [B, slots, *S, C]`` is called once per step — the
+        Vimeo90K path, where every batch is freshly random-cropped/augmented
+        (Flow-2D/train.py:78-100 w/ VimeoDataset + DataLoader), so the
+        HBM-resident dataset path does not apply.  Per-epoch eval, loss.json
+        append, checkpointing and early stopping match ``fit``.
+        """
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.epochs
+        self.steps_per_epoch = steps_per_epoch
+        total_steps = max(steps_per_epoch * epochs, 1)
+        first = sample_fn()
+        if self.state is None:
+            self.init_state(first, total_steps)
+            if resume:
+                self.load_checkpoint()
+        if val_tuples.shape[0] == 0:
+            val_tuples = first
+        history = []
+        best_val = np.inf
+        patience = 0
+        t0 = time.time()
+        step = 0
+        for epoch in range(epochs):
+            for _ in range(steps_per_epoch):
+                batch = jax.device_put(
+                    jnp.asarray(sample_fn(), jnp.float32), self.batch_sharding
+                )
+                self.state, parts = self._jit_train(self.state, batch)
+                step += 1
+                if log_every and step % log_every == 0:
+                    g = float(parts["loss_G"])
+                    rate = step / (time.time() - t0)
+                    print(f"epoch {epoch} step {step} loss_G {g:.5f} "
+                          f"({rate:.2f} it/s)", flush=True)
+            val_parts = self.evaluate(val_tuples, first.shape[0])
+            history.append(val_parts)
+            self._append_loss_json(val_parts)
+            val_g = val_parts["loss_G"]
+            improved = val_g < best_val
+            if improved:
+                best_val = val_g
+                patience = 0
+            else:
+                patience += 1
+            if not cfg.keep_best_only or improved:
+                self.save_checkpoint()
+            if cfg.early_stop_patience and patience >= cfg.early_stop_patience:
+                print(f"early stopping at epoch {epoch}", flush=True)
+                break
+        return history
+
     def evaluate(self, val_tuples: np.ndarray, batch_size: int | None = None):
         n_val = val_tuples.shape[0]
         batch = min(batch_size or 16, n_val)
@@ -334,16 +390,22 @@ class Trainer:
             val_tuples = np.tile(val_tuples, (reps,) + (1,) * (val_tuples.ndim - 1))
             n_val = val_tuples.shape[0]
         sums: dict[str, float] = {}
-        n = 0
-        for i in range(0, n_val - batch + 1, batch):
-            b = jax.device_put(
-                jnp.asarray(val_tuples[i : i + batch]), self.batch_sharding
-            )
+        total_w = 0.0
+        for i in range(0, n_val, batch):
+            chunk = val_tuples[i : i + batch]
+            r = chunk.shape[0]  # real samples in this chunk
+            if r < batch:
+                # tail chunk: cycle its own samples to fill the static batch
+                # shape (keeps one compiled eval step; a few tail samples get
+                # up to one extra repetition in this chunk's mean, but every
+                # val sample is covered — previously the tail was dropped)
+                chunk = np.resize(np.asarray(chunk), (batch,) + chunk.shape[1:])
+            b = jax.device_put(jnp.asarray(chunk), self.batch_sharding)
             parts, _ = self._jit_eval(self.state, b)
             for k, v in parts.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            n += 1
-        return {k: v / max(n, 1) for k, v in sums.items()}
+                sums[k] = sums.get(k, 0.0) + float(v) * r
+            total_w += r
+        return {k: v / max(total_w, 1.0) for k, v in sums.items()}
 
     def predict(self, batch_np: np.ndarray):
         """Eval-mode forward returning (loss parts, extras dict)."""

@@ -92,12 +92,19 @@ class UPFlowTrainer:
 
         use_sp = cfg.eq_weight > 0 or cfg.oi_weight > 0
 
-        def train_step(state, pair, rng):
-            im1, im2 = pair[:, 0], pair[:, 1]
+        def train_step(state, batch, rng):
+            # dict batch: im1/im2 crops (+ optional im1_raw/im2_raw/start for
+            # boundary-dilated warping — the KITTI multiview training path,
+            # kitti_dataset.py:341-431 + tools.py:393-541)
+            im1, im2 = batch["im1"], batch["im2"]
+            raw = (
+                (batch["im1_raw"], batch["im2_raw"], batch["start"])
+                if "im1_raw" in batch else None
+            )
 
             def loss_fn(params):
                 out = self.net.apply(params, im1, im2)
-                total, parts = upflow_losses(out, im1, im2, cfg.loss)
+                total, parts = upflow_losses(out, im1, im2, cfg.loss, raw=raw)
                 if use_sp:
                     # ex_runner-style spatial-transform distillation: student
                     # runs on the transformed pair, teacher flow is the
@@ -127,8 +134,8 @@ class UPFlowTrainer:
             (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             return state.apply_gradients(grads=grads), parts
 
-        def eval_step(state, pair):
-            im1, im2 = pair[:, 0], pair[:, 1]
+        def eval_step(state, batch):
+            im1, im2 = batch["im1"], batch["im2"]
             out = self.net.apply(state.params, im1, im2)
             total, parts = upflow_losses(out, im1, im2, cfg.loss)
             return parts, {"flow_f": out["flow_f"], "flow_b": out["flow_b"]}
@@ -192,9 +199,65 @@ class UPFlowTrainer:
             meter: dict[str, float] = {}
             n = 0
             for b in ds.epoch():
+                b = jnp.asarray(b)
                 self.state, parts = self._jit_train(
                     self.state,
-                    jax.device_put(jnp.asarray(b), self.batch_sharding),
+                    jax.device_put({"im1": b[:, 0], "im2": b[:, 1]},
+                                   self.batch_sharding),
+                    jax.random.fold_in(root_key, step),
+                )
+                step += 1
+                for k, v in parts.items():
+                    meter[k] = meter.get(k, 0.0) + float(v)
+                n += 1
+                if log_every and step % log_every == 0:
+                    print(
+                        f"epoch {epoch} step {step} loss "
+                        f"{meter['loss_total']/n:.5f} ({step/(time.time()-t0):.2f} it/s)",
+                        flush=True,
+                    )
+            epoch_means = {k: v / max(n, 1) for k, v in meter.items()}
+            history.append(epoch_means)
+            self._append_loss_json(epoch_means)
+            self.save_checkpoint()
+        return history
+
+    def fit_kitti(self, dataset, steps_per_epoch: int,
+                  epochs: int | None = None, log_every: int = 20,
+                  resume: bool = False):
+        """Streamed KITTI-multiview training ⇔ simple_train.py w/
+        kitti_data_with_start_point: per-step random crops with rho-margin
+        offsets feeding boundary-dilated warping in the photometric term.
+
+        ``dataset`` is a ``data.kitti.KittiPairDataset`` (or anything with
+        ``sample(batch) -> dict``)."""
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.n_epoch
+        n_data = self.mesh.shape["data"]
+        batch = max(n_data, (cfg.batch_size // n_data) * n_data)
+        if self.state is None:
+            first = dataset.sample(1)
+            self.init_state(
+                np.stack([first["im1"], first["im2"]], axis=1),
+                steps_per_epoch=steps_per_epoch,
+            )
+            if resume:
+                self.load_checkpoint()
+        history = []
+        t0 = time.time()
+        step = 0
+        root_key = jax.random.PRNGKey(cfg.seed + 1)
+        for epoch in range(epochs):
+            meter: dict[str, float] = {}
+            n = 0
+            for _ in range(steps_per_epoch):
+                b = dataset.sample(batch)
+                self.state, parts = self._jit_train(
+                    self.state,
+                    jax.device_put(
+                        {k: jnp.asarray(v) for k, v in b.items()},
+                        self.batch_sharding,
+                    ),
                     jax.random.fold_in(root_key, step),
                 )
                 step += 1
@@ -217,8 +280,11 @@ class UPFlowTrainer:
         pairs, _ = pad_to_multiple(pairs, self.cfg.pad_multiple, leading_axes=2)
         if self.state is None:
             self.init_state(pairs[:1])
+        pairs = jnp.asarray(pairs)
         return self._jit_eval(
-            self.state, jax.device_put(jnp.asarray(pairs), self.batch_sharding)
+            self.state,
+            jax.device_put({"im1": pairs[:, 0], "im2": pairs[:, 1]},
+                           self.batch_sharding),
         )
 
     def _append_loss_json(self, parts: dict[str, float]):

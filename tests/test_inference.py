@@ -79,3 +79,32 @@ def test_batched_pair_inference(interp):
     assert res["pred"].shape == (5, 32, 32, 1)
     assert res["flow"].shape == (5, 32, 32, 4)
     np.testing.assert_allclose(res["gt"], tuples[:, 2])
+
+
+def test_tta_matches_manual_flip_average(interp):
+    """TTA (flip-averaged inference, RIFE.py:66-78) must equal the manual
+    composition (f(a,b) + unflip(f(flip(a), flip(b)))) / 2 of the plain
+    interpolator.  (Conv nets are not flip-equivariant, so TTA != plain even
+    on flip-symmetric inputs — the averaging is the point.)"""
+    rng = np.random.default_rng(6)
+    a = rng.uniform(0, 1, (1, 32, 32, 1)).astype(np.float32)
+    b = rng.uniform(0, 1, (1, 32, 32, 1)).astype(np.float32)
+    tta = Interpolator(interp.model, interp.params, pad_multiple=32, tta=True)
+    p_plain, _, _ = interp.pair(a, b)
+    p_flip, _, _ = interp.pair(a[:, ::-1, ::-1].copy(), b[:, ::-1, ::-1].copy())
+    expected = (p_plain + p_flip[:, ::-1, ::-1]) / 2
+    p_tta, _, _ = tta.pair(a, b)
+    np.testing.assert_allclose(p_tta, expected, atol=1e-5)
+
+
+def test_tta_differs_on_asymmetric_input(interp):
+    rng = np.random.default_rng(7)
+    a = rng.uniform(0, 1, (1, 32, 32, 1)).astype(np.float32)
+    b = np.roll(a, 3, axis=2)
+    tta = Interpolator(interp.model, interp.params, pad_multiple=32, tta=True)
+    p_plain, f_plain, _ = interp.pair(a, b)
+    p_tta, f_tta, _ = tta.pair(a, b)
+    assert p_tta.shape == p_plain.shape
+    # flow/mask come from the primary pass — identical by construction
+    np.testing.assert_allclose(f_tta, f_plain, atol=1e-6)
+    assert not np.allclose(p_tta, p_plain, atol=1e-6)

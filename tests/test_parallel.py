@@ -58,3 +58,28 @@ def test_spatially_sharded_3d_train_step():
     batch = jax.device_put(jnp.asarray(tuples[:2]), tr.batch_sharding)
     state, parts = tr._jit_train(tr.state, batch)
     assert np.isfinite(float(parts["loss_G"]))
+
+
+def test_multihost_initialize_paths(monkeypatch):
+    """initialize_multihost: auto path falls back gracefully single-process;
+    explicit path forwards coordinator args to jax.distributed.initialize."""
+    from opticalflowscivis_tpu.parallel import multihost
+
+    calls = {}
+
+    def fake_init(**kw):
+        calls.update(kw or {"auto": True})
+        if not kw:
+            raise RuntimeError("single process")
+
+    monkeypatch.setattr(multihost.jax.distributed, "initialize", fake_init)
+    out = multihost.initialize_multihost()
+    assert out["initialized"] is False and out["process_count"] == 1
+    assert out["n_devices"] == 8
+
+    out = multihost.initialize_multihost(
+        coordinator_address="10.0.0.1:1234", num_processes=2, process_id=0
+    )
+    assert out["initialized"] is True
+    assert calls["coordinator_address"] == "10.0.0.1:1234"
+    assert calls["num_processes"] == 2

@@ -180,3 +180,25 @@ def test_gt_flow_scale_threads_into_supervision(tiny_setup):
     assert float(p10["loss_flow"]) != float(p1["loss_flow"])
     np.testing.assert_allclose(float(p10["loss_l1"]), float(p1["loss_l1"]),
                                rtol=1e-6)
+
+
+def test_evaluate_covers_tail_batch(tiny_setup):
+    """n_val not divisible by batch: the tail samples must contribute
+    (regression: frames beyond the last full batch were silently dropped)."""
+    cfg, tuples = tiny_setup
+    tr = Trainer(cfg)
+    tr.init_state(tuples[:8], total_steps=4)
+    val = tuples[:12].copy()  # 8 + 4 tail with batch 8 (4 | 8: cycle-pad exact)
+    full = tr.evaluate(val, 8)
+    head_only = tr.evaluate(val[:8], 8)
+    tail_only = tr.evaluate(val[8:], 8)
+    # weighted combination of disjoint chunk means must reproduce `full`
+    for k in full:
+        np.testing.assert_allclose(
+            full[k], (8 * head_only[k] + 4 * tail_only[k]) / 12, rtol=1e-4,
+            err_msg=k,
+        )
+    # and the tail must actually matter
+    assert any(
+        not np.isclose(full[k], head_only[k], rtol=1e-6) for k in full
+    )
