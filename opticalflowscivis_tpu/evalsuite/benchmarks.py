@@ -107,23 +107,40 @@ def bench_latency(
     interp, shape: tuple[int, int, int] = (480, 640, 3), warmup: int = 10,
     iters: int = 50,
 ) -> dict:
-    """testtime.py protocol on TPU: varied inputs, best-of-3 mean latency."""
-    import jax
+    """testtime.py protocol on TPU: best-of-3 mean latency of the model
+    forward on a 1x480x640x3 pair.
 
-    rng = np.random.default_rng(0)
-    variants = [
-        (rng.uniform(0, 1, (1,) + shape).astype(np.float32),
-         rng.uniform(0, 1, (1,) + shape).astype(np.float32))
-        for _ in range(4)
-    ]
-    for v in variants[: max(warmup // len(variants), 1)]:
-        interp.pair(*v)
+    Relay discipline (CLAUDE.md): inputs live on device (no per-call host
+    uploads over the ~2 MB/s relay), every call is perturbed by the PREVIOUS
+    call's scalar output (chained dependency — uncacheable under the caching
+    relay, forced sequential execution under the lazy one), and only one
+    scalar crosses the wire per timed block."""
+    import jax
+    import jax.numpy as jnp
+
+    m = interp.pad_multiple
+    padded = tuple(s + (-s) % m for s in shape[:-1]) + (shape[-1],)
+    key = jax.random.PRNGKey(0)
+    img0 = jax.random.uniform(key, (1,) + padded, jnp.float32)
+    img1 = jax.random.uniform(jax.random.fold_in(key, 1), (1,) + padded,
+                              jnp.float32)
+    forward = interp._forward
+
+    @jax.jit
+    def chained(eps, img0, img1):
+        merged, _, _ = forward(interp.params, img0 + eps, img1 + eps, 0.5)
+        return jnp.sum(merged.astype(jnp.float32)) * 1e-9
+
+    s = jnp.float32(0.0)
+    for i in range(max(warmup, 1)):
+        s = chained(s * 1e-6, img0, img1)
+    float(s)  # materialize the warmup chain (compile included)
     best = float("inf")
-    for _ in range(3):
+    for r in range(3):
         t0 = time.perf_counter()
         for i in range(iters):
-            out, _, _ = interp.pair(*variants[i % len(variants)])
-        jax.block_until_ready(out)
+            s = chained(s * 1e-6 + i * 1e-5, img0, img1)
+        float(s)  # materialize the whole timed chain
         best = min(best, (time.perf_counter() - t0) / iters)
     return {"mean_latency_ms": round(best * 1000, 3),
             "pairs_per_sec": round(1.0 / best, 2)}

@@ -143,7 +143,16 @@ def interpolate_series(
     Returns (reconstruction of length ``(T//factor-1)*factor + 1``, flows or None).
     ``dup_ssim_gate`` copies img0 when the pair is near-identical (>gate);
     ``cut_ssim_gate`` copies img0 on scene cuts (<gate) — inference_video.py:244-275.
+
+    Power-of-two factors without SSIM gates dispatch to the device-resident
+    batched path (identical bisection semantics, one upload / one download).
     """
+    if (
+        factor >= 2 and factor & (factor - 1) == 0
+        and dup_ssim_gate is None and cut_ssim_gate is None
+        and type(interp) is Interpolator  # zoo wrappers: different _forward
+    ):
+        return interpolate_series_device(interp, frames, factor, collect_flow)
     kept = frames[::factor]
     out: list[np.ndarray] = []
     flows: list[np.ndarray] = []
@@ -167,6 +176,61 @@ def interpolate_series(
     out.append(kept[-1])
     recon = np.stack(out)
     return recon, (np.stack(flows) if flows else None)
+
+
+def interpolate_series_device(
+    interp: Interpolator,
+    frames: np.ndarray,
+    factor: int,
+    collect_flow: bool = False,
+):
+    """Device-resident ``interpolate_series`` for power-of-two factors.
+
+    The sequential path round-trips every frame over the host link per
+    ``pair`` call — on the TPU relay (~2 MB/s) that costs ~1 s/frame and
+    dwarfs device time.  Here the kept frames upload ONCE, every bisection
+    level runs as one batched jitted forward entirely on device, and the
+    reconstruction downloads ONCE, preserving the recursive-midpoint
+    semantics of make_inference (inference_video.py:172-202): level d fills
+    the midpoints of all known pairs at gap ``factor/2^d`` simultaneously.
+    """
+    import jax
+
+    assert factor & (factor - 1) == 0 and factor >= 2
+    kept = np.asarray(frames[::factor], np.float32)
+    if kept.shape[0] < 2:
+        return np.asarray(frames[:1], np.float32), None
+    padded, orig_shape = interp._pad(kept)
+    n_out = (kept.shape[0] - 1) * factor + 1
+    # recon buffer on device, padded shapes; filled level by level
+    recon = jnp.zeros((n_out,) + padded.shape[1:], jnp.float32)
+    recon = recon.at[::factor].set(jnp.asarray(padded))
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(1,))
+    def fill_level(recon, gap):
+        starts = jnp.arange(0, n_out - 1, gap)
+        a = recon[starts]
+        b = recon[starts + gap]
+        merged, _, _ = interp._forward(interp.params, a, b, 0.5)
+        return recon.at[starts + gap // 2].set(merged.astype(jnp.float32))
+
+    gap = factor
+    while gap > 1:
+        recon = fill_level(recon, gap)
+        gap //= 2
+
+    flows = None
+    if collect_flow:
+        a = jnp.asarray(padded[:-1])
+        b = jnp.asarray(padded[1:])
+        _, flow, _ = interp._forward(interp.params, a, b, 0.5)
+        crop = (slice(None),) + tuple(slice(0, s) for s in orig_shape[1:-1])
+        flows = np.asarray(flow, np.float32)[crop]
+
+    crop = (slice(None),) + tuple(slice(0, s) for s in orig_shape[1:-1])
+    return np.asarray(recon, np.float32)[crop], flows
 
 
 def batched_pair_inference(

@@ -47,6 +47,10 @@ class UPFlowTrainConfig:
     bfloat16: bool = True
     pad_multiple: int = 64  # 6 stride-2 levels
     n_data: int | None = None
+    hbm_dataset_gb: float = 6.0  # keep the pair set HBM-resident when it fits
+    #   (0 = always stream): one bulk upload, then only batch indices cross
+    #   the host↔device boundary per step — the relay's ~2 MB/s H2D otherwise
+    #   caps long runs at well under 1 it/s (CLAUDE.md)
     # ARFlow/ex_runner spatial-transform distillation (losses/selfsup.py)
     eq_weight: float = 0.0  # equivariance distillation on transformed pairs
     oi_weight: float = 0.0  # occlusion-photometric loss on transformed pairs
@@ -140,9 +144,21 @@ class UPFlowTrainer:
             total, parts = upflow_losses(out, im1, im2, cfg.loss)
             return parts, {"flow_f": out["flow_f"], "flow_b": out["flow_b"]}
 
+        def train_step_idx(state, data, idx, rng):
+            # HBM-resident path: gather the minibatch on device from the
+            # replicated pair set; constrain to the batch sharding so the
+            # data-parallel compute is identical to the streamed path.
+            b = jnp.take(data, idx, axis=0).astype(jnp.float32)
+            batch = jax.lax.with_sharding_constraint(
+                {"im1": b[:, 0], "im2": b[:, 1]}, self.batch_sharding
+            )
+            return train_step(state, batch, rng)
+
         self._train_step = train_step
+        self._train_step_idx = train_step_idx
         self._eval_step = eval_step
         self._jit_train = None
+        self._jit_train_idx = None
         self._jit_eval = None
 
     def init_state(self, sample_pair: np.ndarray, steps_per_epoch: int = 0):
@@ -165,6 +181,12 @@ class UPFlowTrainer:
         self._jit_train = jax.jit(
             self._train_step,
             in_shardings=(self.repl, self.batch_sharding, self.repl),
+            out_shardings=(self.repl, self.repl),
+            donate_argnums=(0,),
+        )
+        self._jit_train_idx = jax.jit(
+            self._train_step_idx,
+            in_shardings=(self.repl, self.repl, self.repl, self.repl),
             out_shardings=(self.repl, self.repl),
             donate_argnums=(0,),
         )
@@ -191,32 +213,51 @@ class UPFlowTrainer:
                             steps_per_epoch=max(1, pairs.shape[0] // batch))
             if resume:
                 self.load_checkpoint()
+        use_hbm = bool(
+            cfg.hbm_dataset_gb and pairs.nbytes <= cfg.hbm_dataset_gb * 1e9
+        )
+        data_dev = (
+            jax.device_put(jnp.asarray(pairs), self.repl) if use_hbm else None
+        )
         history = []
         t0 = time.time()
         step = 0
         root_key = jax.random.PRNGKey(cfg.seed + 1)
         for epoch in range(epochs):
-            meter: dict[str, float] = {}
+            # device-side meter: scalars accumulate on device and materialize
+            # once per epoch (a float() per part per step costs a relay round
+            # trip each — dozens of ms of dead time every step)
+            meter_dev = None
             n = 0
-            for b in ds.epoch():
-                b = jnp.asarray(b)
-                self.state, parts = self._jit_train(
-                    self.state,
-                    jax.device_put({"im1": b[:, 0], "im2": b[:, 1]},
-                                   self.batch_sharding),
-                    jax.random.fold_in(root_key, step),
-                )
+            for idx in ds.epoch_indices():
+                rng = jax.random.fold_in(root_key, step)
+                if use_hbm:
+                    self.state, parts = self._jit_train_idx(
+                        self.state, data_dev, jnp.asarray(idx), rng
+                    )
+                else:
+                    b = jnp.asarray(pairs[idx])
+                    self.state, parts = self._jit_train(
+                        self.state,
+                        jax.device_put({"im1": b[:, 0], "im2": b[:, 1]},
+                                       self.batch_sharding),
+                        rng,
+                    )
                 step += 1
-                for k, v in parts.items():
-                    meter[k] = meter.get(k, 0.0) + float(v)
+                meter_dev = parts if meter_dev is None else jax.tree.map(
+                    jnp.add, meter_dev, parts
+                )
                 n += 1
                 if log_every and step % log_every == 0:
                     print(
                         f"epoch {epoch} step {step} loss "
-                        f"{meter['loss_total']/n:.5f} ({step/(time.time()-t0):.2f} it/s)",
+                        f"{float(meter_dev['loss_total'])/n:.5f} "
+                        f"({step/(time.time()-t0):.2f} it/s)",
                         flush=True,
                     )
-            epoch_means = {k: v / max(n, 1) for k, v in meter.items()}
+            epoch_means = {
+                k: float(v) / max(n, 1) for k, v in (meter_dev or {}).items()
+            }
             history.append(epoch_means)
             self._append_loss_json(epoch_means)
             self.save_checkpoint()

@@ -1,0 +1,98 @@
+"""256^3 volumetric TRAINING — the capability the reference lacked.
+
+The reference downsampled Droplet-3D from 256^3 to 64^3 because full volumes
+did not fit its GPU training memory (Datasets/read_data.py:149-159); the
+BASELINE.json north star asks for 256^3 throughput on one v5e chip.  Recipe
+that fits one chip's 16 GB HBM:
+
+- rematerialized IFBlocks (jax.checkpoint, ModelConfig.remat),
+- bf16 HBM-resident dataset cache + on-device flip augmentation,
+- batch 1 (data mesh axis 1 on a single chip).
+
+Reports seconds/step (vols/s) for the jitted train step and runs a short
+schedule, writing Results_256/train256_report.json.  Run on the TPU chip:
+
+    python scripts/train256.py [--frames 33] [--epochs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=33)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--grid", type=int, default=256)
+    ap.add_argument("--out", default="Results_256")
+    args = ap.parse_args()
+
+    import jax
+
+    from opticalflowscivis_tpu.data import group_tuples
+    from opticalflowscivis_tpu.data.synthetic import rectangle_3d
+    from opticalflowscivis_tpu.losses.rife import RIFELossWeights
+    from opticalflowscivis_tpu.training import ModelConfig, TrainConfig, Trainer
+
+    g = args.grid
+    print(f"generating {args.frames} frames of {g}^3 ...", flush=True)
+    t0 = time.time()
+    arr = rectangle_3d(n_frames=args.frames, grid=(g, g, g),
+                       box=(g // 4, g // 4, g // 4), seed=11)
+    tuples = group_tuples(arr, 1).astype(np.float32)
+    del arr
+    n = tuples.shape[0]
+    n_train = max(n - 2, 1)
+    print(f"{n} tuples ({tuples.nbytes/1e9:.1f} GB host f32) "
+          f"in {time.time()-t0:.0f}s", flush=True)
+
+    cfg = TrainConfig(
+        dataset="rectangle3d",
+        batch_size=1,
+        epochs=args.epochs,
+        model=ModelConfig.preset_3d(remat=True),
+        loss=RIFELossWeights.preset_3d(),
+        data_dir="/tmp/t256_d", log_dir=os.path.join(args.out, "log"),
+        results_dir=args.out,
+        device_flip_aug=True,
+        hbm_dataset_dtype="bfloat16",
+        hbm_dataset_gb=11.0,
+        keep_best_only=False,
+    )
+    tr = Trainer(cfg)
+
+    report = {"grid": g, "n_tuples": int(n)}
+    t0 = time.time()
+    hist = tr.fit(tuples[:n_train], tuples[n_train:], log_every=1)
+    wall = time.time() - t0
+    steps = tr.steps_per_epoch * args.epochs
+    report.update(
+        seconds_per_step=round(wall / max(steps, 1), 3),
+        train_vols_per_sec=round(steps * 1 / wall, 4),
+        epochs=args.epochs,
+        steps=steps,
+        val_loss_first=hist[0]["loss_G"],
+        val_loss_final=hist[-1]["loss_G"],
+    )
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        report["hbm_peak_bytes"] = int(stats.get("peak_bytes_in_use", 0))
+    except Exception:  # noqa: BLE001
+        pass
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "train256_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report), flush=True)
+
+
+if __name__ == "__main__":
+    main()

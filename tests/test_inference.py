@@ -53,6 +53,31 @@ def test_series_reconstruction_length(interp):
     assert flows is not None and flows.shape[0] == 2
 
 
+def test_series_device_path_matches_sequential(interp):
+    """The device-resident batched path must reproduce the recursive-midpoint
+    reconstruction exactly (same bisection tree, same forwards)."""
+    from opticalflowscivis_tpu.inference import interpolate_series_device
+
+    rng = np.random.default_rng(7)
+    frames = rng.uniform(0, 1, (9, 30, 45, 1)).astype(np.float32)
+    recon_dev, flows_dev = interpolate_series_device(
+        interp, frames, factor=4, collect_flow=True
+    )
+    # sequential oracle: pad ONCE, recurse on padded frames, crop at the end —
+    # the reference's make_inference semantics (inference_img.py:56-61 pads
+    # before the bisection loop and only crops at write time)
+    padded, _ = interp._pad(frames)
+    kept = padded[::4]
+    out = []
+    for a, b in zip(kept[:-1], kept[1:]):
+        out.append(a)
+        out.extend(m[0] for m in interpolate_recursive(interp, a[None], b[None], 3))
+    out.append(kept[-1])
+    oracle = np.stack(out)[:, :30, :45]
+    np.testing.assert_allclose(recon_dev, oracle, atol=2e-5)
+    assert flows_dev is not None and flows_dev.shape == (2, 30, 45, 4)
+
+
 def test_series_dup_gate_copies(interp):
     frames = np.tile(
         np.random.default_rng(3).uniform(0, 1, (1, 32, 32, 1)).astype(np.float32),
