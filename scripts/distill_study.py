@@ -92,17 +92,28 @@ def run_condition(name: str, distill: float, bounded: bool, leash: float,
     return report
 
 
+CONDITIONS = [
+    # (name, distill, bounded, leash, bf16)
+    ("A_distill0_bounded", 0.0, True, 0.0, False),
+    ("B_distill01_bounded", 0.1, True, 0.0, False),
+    ("C_distill01_exact", 0.1, False, 0.0, False),
+    ("D_distill01_bounded_leash", 0.1, True, 0.01, False),
+    # round-1 collapse was observed with the real recipe (bf16 compute);
+    # A-C ran fp32 and did not collapse — bisect the dtype axis:
+    ("E_distill01_bounded_bf16", 0.1, True, 0.0, True),
+    ("F_distill0_bounded_bf16", 0.0, True, 0.0, True),
+]
+
+
 def main():
     tmp = os.environ.get("DISTILL_STUDY_DIR", "/tmp/distill_study")
     os.makedirs(tmp, exist_ok=True)
+    only = os.environ.get("DISTILL_STUDY_ONLY", "")
     reports = []
-    for name, distill, bounded, leash in [
-        ("A_distill0_bounded", 0.0, True, 0.0),
-        ("B_distill01_bounded", 0.1, True, 0.0),
-        ("C_distill01_exact", 0.1, False, 0.0),
-        ("D_distill01_bounded_leash", 0.1, True, 0.01),
-    ]:
-        reports.append(run_condition(name, distill, bounded, leash, tmp))
+    for name, distill, bounded, leash, bf16 in CONDITIONS:
+        if only and name[0] not in only:
+            continue
+        reports.append(run_condition(name, distill, bounded, leash, tmp, bf16))
     with open(os.path.join(tmp, "study.json"), "w") as f:
         json.dump(reports, f, indent=2)
     print("SUMMARY")
