@@ -234,6 +234,8 @@ def cmd_inference_video(argv):
     p.add_argument("--max_frames", type=int, default=0,
                    help="limit test frames (0 = all)")
     p.add_argument("--write_mp4", action="store_true")
+    p.add_argument("--tta", action="store_true",
+                   help="flip-averaged test-time augmentation (RIFE.py:66-78)")
     p.add_argument("--zoo_dir", default="",
                    help="pretrained RIFE HD/HDv2/HDv3 checkpoint dir (torch "
                         "pkl files) instead of a framework checkpoint")
@@ -267,7 +269,8 @@ def cmd_inference_video(argv):
         sample = np.stack([frames[0], frames[1], frames[0]])[None]
         tr.init_state(sample, total_steps=1)
         tr.load_checkpoint()
-        interp = Interpolator(tr.model, tr.state.params, cfg.pad_multiple)
+        interp = Interpolator(tr.model, tr.state.params, cfg.pad_multiple,
+                              tta=args.tta)
 
     results = {}
     for factor in [int(f) for f in args.factors.split(",")]:
