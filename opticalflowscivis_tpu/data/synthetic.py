@@ -42,7 +42,24 @@ def _moving_box(
     ndim = len(grid)
     density = np.zeros((n_frames,) + grid, np.float32)
     flow = np.zeros((n_frames,) + grid + (ndim,), np.float32)
+    positions = _box_trajectory(rng, n_frames, grid, box, vel_max, max_seq)
+    for t in range(n_frames):
+        sl = tuple(slice(p, p + b) for p, b in zip(positions[t], box))
+        density[t][sl] = texture
+        flow[(t,) + sl] = (positions[t + 1] - positions[t]).astype(np.float32)
+    return density, flow
 
+
+def _box_trajectory(
+    rng: np.random.Generator,
+    n_frames: int,
+    grid: tuple[int, ...],
+    box: tuple[int, ...],
+    vel_max: int,
+    max_seq: int,
+) -> np.ndarray:
+    """Positions ``[T+1, ndim]`` (frame t stamps displacement to frame t+1)."""
+    ndim = len(grid)
     pos = np.array([rng.integers(0, g - b + 1) for g, b in zip(grid, box)])
     vel = rng.integers(-vel_max, vel_max + 1, size=ndim)
     seq = max_seq
@@ -50,7 +67,6 @@ def _moving_box(
     def clamp(p):
         return np.clip(p, 0, np.array(grid) - np.array(box))
 
-    # Trajectory first (so frame t can stamp its forward displacement).
     positions = np.empty((n_frames + 1, ndim), np.int64)
     positions[0] = pos
     for t in range(n_frames):
@@ -63,12 +79,25 @@ def _moving_box(
             seq = 0
         pos = new
         positions[t + 1] = pos
+    return positions
 
+
+def _moving_box_density(
+    rng: np.random.Generator,
+    n_frames: int,
+    grid: tuple[int, ...],
+    box: tuple[int, ...],
+    vel_max: int,
+    max_seq: int,
+    texture: np.ndarray,
+) -> np.ndarray:
+    """Density only — same rng stream/trajectory as ``_moving_box``."""
+    density = np.zeros((n_frames,) + grid, np.float32)
+    positions = _box_trajectory(rng, n_frames, grid, box, vel_max, max_seq)
     for t in range(n_frames):
         sl = tuple(slice(p, p + b) for p, b in zip(positions[t], box))
         density[t][sl] = texture
-        flow[(t,) + sl] = (positions[t + 1] - positions[t]).astype(np.float32)
-    return density, flow
+    return density
 
 
 def _hf_texture(rng: np.random.Generator, box: tuple[int, ...], step: int = 10) -> np.ndarray:
@@ -235,9 +264,19 @@ def rectangle_3d(
     vel_max: int = 8,
     max_seq: int = 10,
     seed: int = 0,
+    with_flow: bool = True,
 ) -> np.ndarray:
-    """``[T, D, H, W, 4]``: density (constant-1 box) + (dz, dy, dx) GT flow."""
+    """``[T, D, H, W, 4]``: density (constant-1 box) + (dz, dy, dx) GT flow.
+
+    ``with_flow=False`` returns density only (``[T, D, H, W, 1]``) — at 256³
+    the flow channels cost 3/4 of an ~35 GB host prep (and a pathological
+    1-float-stride channel interleave) that unsupervised recipes never read.
+    """
     rng = np.random.default_rng(seed)
     tex = np.ones(box, np.float32)  # create_data_3d.py uses an untextured box
+    if not with_flow:
+        density = _moving_box_density(rng, n_frames, grid, box, vel_max,
+                                      max_seq, tex)
+        return density[..., None]
     density, flow = _moving_box(rng, n_frames, grid, box, vel_max, max_seq, tex)
     return np.concatenate([density[..., None], flow], axis=-1)

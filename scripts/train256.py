@@ -46,9 +46,13 @@ def main():
     g = args.grid
     print(f"generating {args.frames} frames of {g}^3 ...", flush=True)
     t0 = time.time()
+    # density-only: the unsupervised 3-D recipe never reads GT flow, and at
+    # 256^3 the flow channels quadruple host prep cost and overflow the HBM
+    # dataset budget (4-ch bf16 tuples = 12.5 GB > 11 GB -> silent fallback
+    # to the ~2 MB/s streamed path)
     arr = rectangle_3d(n_frames=args.frames, grid=(g, g, g),
-                       box=(g // 4, g // 4, g // 4), seed=11)
-    tuples = group_tuples(arr, 1).astype(np.float32)
+                       box=(g // 4, g // 4, g // 4), seed=11, with_flow=False)
+    tuples = group_tuples(arr, 1).astype(np.float32, copy=False)
     del arr
     n = tuples.shape[0]
     n_train = max(n - 2, 1)
