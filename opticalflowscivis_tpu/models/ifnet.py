@@ -136,6 +136,7 @@ class IFNet(nn.Module):
                 return backward_warp3d_slab(
                     im, fl, r_z=self.bounded_warp_rz,
                     r_yx=self.fast_warp_r or self.bounded_warp_rz,
+                    remat_taps=self.remat,
                 )
         elif nd == 2 and self.fast_warp_r > 0 and jax.default_backend() == "tpu":
             from opticalflowscivis_tpu.ops.pallas.warp import (
@@ -181,7 +182,7 @@ class IFNet(nn.Module):
             tea_inp = [img0, img1, warped0, warped1, mask, gt]
             if self.arbitrary_timestep:
                 tea_inp.append(ts_channel(img0))
-            flow_d, mask_d = IFBlock(
+            flow_d, mask_d = block_cls(
                 nd, self.teacher_channels, conv0_kernel=self.conv0_kernel,
                 dtype=self.dtype, name="block_tea",
             )(jnp.concatenate(tea_inp, axis=-1), flow, scale=1)

@@ -141,13 +141,14 @@ def backward_warp(
     return multilinear_sample(img, coords, padding, return_mask)
 
 
-@partial(jax.jit, static_argnames=("r_z", "padding", "r_yx"))
+@partial(jax.jit, static_argnames=("r_z", "padding", "r_yx", "remat_taps"))
 def backward_warp3d_slab(
     img: jax.Array,
     flow: jax.Array,
     r_z: int = 8,
     padding: str = "border",
     r_yx: int = 0,
+    remat_taps: bool = False,
 ) -> jax.Array:
     """Trilinear warp of large volumes without HBM-random gathers.
 
@@ -210,6 +211,13 @@ def backward_warp3d_slab(
 
     out0 = jnp.zeros((b, z, y, x, c), jnp.float32)
     vz0 = jnp.zeros((b, z, y, x), jnp.float32) if padding == "zeros" else None
+    if remat_taps:
+        # Training at 256^3: the scan's backward otherwise stacks per-tap
+        # residuals — (2*r_z+3) full-resolution warped volumes per warp call
+        # (~4 GB each at 256^3 x f32, the dominant term of a 44 GB OOM).
+        # Rematerializing the tap recomputes the cheap MXU 2-D warps in the
+        # backward pass instead; only the shared inputs stay resident.
+        tap = jax.checkpoint(tap)
     (out, vz_sum), _ = jax.lax.scan(
         tap, (out0, vz0), jnp.arange(2 * mz + 1, dtype=jnp.int32)
     )

@@ -109,3 +109,22 @@ def test_gradients_finite():
 
     g = jax.grad(loss)(flow)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_slab_remat_taps_matches_values_and_grads():
+    """remat_taps is a memory optimization only — identical values and grads."""
+    import jax
+
+    from opticalflowscivis_tpu.ops.warp import backward_warp3d_slab
+
+    rng = np.random.default_rng(9)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 6, 8, 8, 1)).astype(np.float32))
+    flow = jnp.asarray(rng.uniform(-2, 2, (1, 6, 8, 8, 3)).astype(np.float32))
+
+    def loss(f, remat):
+        return jnp.sum(backward_warp3d_slab(img, f, r_z=3, remat_taps=remat) ** 2)
+
+    v0, g0 = jax.value_and_grad(lambda f: loss(f, False))(flow)
+    v1, g1 = jax.value_and_grad(lambda f: loss(f, True))(flow)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-5, atol=1e-6)
