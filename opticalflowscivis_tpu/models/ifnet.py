@@ -182,10 +182,12 @@ class IFNet(nn.Module):
             tea_inp = [img0, img1, warped0, warped1, mask, gt]
             if self.arbitrary_timestep:
                 tea_inp.append(ts_channel(img0))
+            # scale passed positionally (nn.remat static_argnums covers
+            # positional args only)
             flow_d, mask_d = block_cls(
                 nd, self.teacher_channels, conv0_kernel=self.conv0_kernel,
                 dtype=self.dtype, name="block_tea",
-            )(jnp.concatenate(tea_inp, axis=-1), flow, scale=1)
+            )(jnp.concatenate(tea_inp, axis=-1), flow, 1)
             flow_teacher = flow + flow_d
             w0_tea = warp(img0, flow_teacher[..., :nd])
             w1_tea = warp(img1, flow_teacher[..., nd:])
