@@ -83,6 +83,9 @@ class TrainConfig:
     n_space: int = 1  # spatial-shard degree (volume depth over the 'space' axis)
     spatial_shard: bool = False  # shard 3-D volumes spatially (GSPMD halos)
     debug_nans: bool = False
+    compiler_options: dict | None = None  # per-run XLA overrides (e.g. 256^3
+    #   training disables XLA's remat-compression, whose "compressed" layout
+    #   for [*, 6]-channel flow tensors pads 21.3x — four 4 GB buffers)
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
     loss: RIFELossWeights = dataclasses.field(default_factory=RIFELossWeights)

@@ -170,15 +170,18 @@ class Trainer:
             tx = optax.chain(optax.clip_by_global_norm(cfg.optim.grad_clip), tx)
         state = TrainState.create(apply_fn=self.model.apply, params=params, tx=tx)
         self.state = jax.device_put(state, self.repl)
+        copts = dict(cfg.compiler_options or {}) or None
         self._jit_train = jax.jit(
             self._train_step_fn,
             in_shardings=(self.repl, self.batch_sharding),
             out_shardings=(self.repl, self.repl),
             donate_argnums=(0,),
+            compiler_options=copts,
         )
         self._jit_eval = jax.jit(
             self._eval_step_fn,
             in_shardings=(self.repl, self.batch_sharding),
+            compiler_options=copts,
         )
 
         def train_step_idx(state, data, idx):
@@ -201,6 +204,7 @@ class Trainer:
             in_shardings=(self.repl, self.repl, self.repl),
             out_shardings=(self.repl, self.repl),
             donate_argnums=(0,),
+            compiler_options=copts,
         )
         return self.state
 

@@ -71,6 +71,14 @@ def main():
         hbm_dataset_dtype="bfloat16",
         hbm_dataset_gb=11.0,
         keep_best_only=False,
+        # At 256^3 XLA's remat-compression pass stores the [*, 6]-channel flow
+        # tensors in a "compressed" layout that actually pads 21.3x (four 4 GB
+        # buffers of 192 MB data -> OOM).  Our explicit jax.checkpoint remat
+        # already covers the blocks and warp taps; disable XLA's own pass.
+        compiler_options=(
+            {"xla_tpu_rematerialization_min_size_in_bytes": "1000000000000"}
+            if g >= 256 else None
+        ),
     )
     tr = Trainer(cfg)
 
