@@ -95,6 +95,10 @@ class IFNet(nn.Module):
     block_channels: Sequence[int] = (128, 96, 64)
     scales: Sequence[int] = (4, 2, 1)
     teacher_channels: int = 64
+    teacher_scale: int = 1  # reference runs the teacher at scale 1
+    # (IFNet.py:232); >1 is the single-chip 256^3 mode where no conv may
+    # consume a full-resolution input (flow/mask are upscaled exactly like a
+    # student block's)
     arbitrary_timestep: bool = False  # IFNet_m variant: timestep as input channel
     conv0_kernel: int = 3
     refine: bool = False  # Contextnet/Unet residual refinement (IFNet.py:255-274)
@@ -187,7 +191,7 @@ class IFNet(nn.Module):
             flow_d, mask_d = block_cls(
                 nd, self.teacher_channels, conv0_kernel=self.conv0_kernel,
                 dtype=self.dtype, name="block_tea",
-            )(jnp.concatenate(tea_inp, axis=-1), flow, 1)
+            )(jnp.concatenate(tea_inp, axis=-1), flow, self.teacher_scale)
             flow_teacher = flow + flow_d
             w0_tea = warp(img0, flow_teacher[..., :nd])
             w1_tea = warp(img1, flow_teacher[..., nd:])

@@ -34,6 +34,7 @@ class ModelConfig:
     block_channels: tuple[int, ...] = (128, 96, 64)
     scales: tuple[int, ...] = (4, 2, 1)
     teacher_channels: int = 64
+    teacher_scale: int = 1  # >1 only for the single-chip 256^3 training mode
     conv0_kernel: int = 3
     arbitrary_timestep: bool = False
     refine: bool = False

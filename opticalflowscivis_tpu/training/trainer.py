@@ -54,6 +54,7 @@ def build_model(cfg: TrainConfig) -> IFNet:
         block_channels=tuple(m.block_channels),
         scales=tuple(m.scales),
         teacher_channels=m.teacher_channels,
+        teacher_scale=m.teacher_scale,
         arbitrary_timestep=m.arbitrary_timestep,
         refine=m.refine,
         conv0_kernel=m.conv0_kernel,

@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--grid", type=int, default=256)
     ap.add_argument("--out", default="Results_256")
+    ap.add_argument("--coarse_final", action="store_true",
+                    help="single-chip 256^3 mode: run the final IFBlock at "
+                         "scale 2 (4,2,2) so no conv consumes a full-res "
+                         "input; warps, merge and losses stay at full res")
     args = ap.parse_args()
 
     import jax
@@ -63,7 +67,11 @@ def main():
         dataset="rectangle3d",
         batch_size=1,
         epochs=args.epochs,
-        model=ModelConfig.preset_3d(remat=True),
+        model=ModelConfig.preset_3d(
+            remat=True,
+            **({"scales": (4, 2, 2), "teacher_scale": 2}
+               if args.coarse_final else {}),
+        ),
         loss=RIFELossWeights.preset_3d(),
         data_dir="/tmp/t256_d", log_dir=os.path.join(args.out, "log"),
         results_dir=args.out,
