@@ -164,6 +164,10 @@ def bench_train_step():
 
 
 def main():
+    if os.environ.get("BENCH_FORCE_CPU"):
+        # Env JAX_PLATFORMS is not honored under the axon plugin; the config
+        # update is the reliable CPU pin (CLAUDE.md).
+        jax.config.update("jax_platforms", "cpu")
     pairs_per_sec, sec_per_call, flops_per_call = bench_rife2d_inference()
     peak = _peak_flops()
     if flops_per_call is None:
@@ -240,5 +244,76 @@ def _dump_and_exit(signum, frame):
     os._exit(0)
 
 
+def _supervised():
+    """Run the real bench in a child process and babysit device init.
+
+    The axon relay can wedge so that PJRT client creation blocks forever
+    (CLAUDE.md; round-1 BENCH artifact: rc=124 with zero output).  A hung
+    in-process init cannot be cancelled, so the measurement runs in a child:
+    if it emits no stdout within BENCH_INIT_DEADLINE_S it is killed and
+    retried (wedges self-heal after minutes) while BENCH_SUPERVISE_BUDGET_S
+    lasts.  After the first line (the headline JSON) the child polices its
+    own budget (BUDGET_S + SIGALRM) and we just stream it through.
+    """
+    import selectors
+    import subprocess
+
+    deadline = float(os.environ.get("BENCH_INIT_DEADLINE_S", "420"))
+    budget = float(os.environ.get("BENCH_SUPERVISE_BUDGET_S", "2400"))
+    retry_sleep = 90.0
+    t0 = time.perf_counter()
+    attempt = 0
+    env = dict(os.environ)
+    env["BENCH_NO_SUPERVISE"] = "1"
+    while True:
+        attempt += 1
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            stdout=subprocess.PIPE, env=env,
+        )
+        sel = selectors.DefaultSelector()
+        sel.register(child.stdout, selectors.EVENT_READ)
+        got_output = False
+        init_t0 = time.perf_counter()
+        # Post-headline hard cap: the child's SIGALRM backstop cannot fire
+        # while its main thread is wedged inside a blocking relay call, so the
+        # parent enforces the budget too.  Headline already streamed → rc 0.
+        hard_cap = BUDGET_S + 300.0
+        while True:
+            alive = time.perf_counter() - init_t0
+            if not got_output and alive > deadline:
+                break  # wedged init — kill and maybe retry
+            if got_output and alive > hard_cap:
+                child.kill()
+                child.wait()
+                sys.exit(0)
+            if sel.select(timeout=5.0):
+                data = os.read(child.stdout.fileno(), 65536)
+                if not data:  # EOF — child finished
+                    sys.exit(child.wait())
+                sys.stdout.buffer.write(data)
+                sys.stdout.flush()
+                got_output = True
+        child.kill()
+        child.wait()
+        remaining = budget - (time.perf_counter() - t0)
+        if remaining < deadline + retry_sleep:
+            print(
+                f"bench: device init produced no output in {deadline:.0f}s "
+                f"x{attempt} attempts (relay wedged?); budget exhausted",
+                file=sys.stderr,
+            )
+            sys.exit(3)
+        print(
+            f"bench: init attempt {attempt} wedged; retrying in "
+            f"{retry_sleep:.0f}s ({remaining:.0f}s budget left)",
+            file=sys.stderr,
+        )
+        time.sleep(retry_sleep)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_NO_SUPERVISE"):
+        main()
+    else:
+        _supervised()
