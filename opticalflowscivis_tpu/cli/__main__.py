@@ -528,8 +528,8 @@ def cmd_select(argv):
 def cmd_generate(argv):
     p = argparse.ArgumentParser(prog="generate")
     p.add_argument("--dataset", default="rectangle2d",
-                   choices=["rectangle2d", "rectangles2d", "rectangle3d",
-                            "lbs2d", "jets3d"])
+                   choices=["rectangle2d", "rectangle2d_tex", "rectangles2d",
+                            "rectangle3d", "lbs2d", "jets3d"])
     p.add_argument("--data_dir", default="data_cache")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--frames", type=int, default=0, help="0 = reference default")
@@ -539,8 +539,12 @@ def cmd_generate(argv):
 
     from opticalflowscivis_tpu.data import synthetic
 
+    import functools
+
     gens = {
         "rectangle2d": synthetic.rectangle_2d,
+        "rectangle2d_tex": functools.partial(synthetic.rectangle_2d,
+                                             background="texture"),
         "rectangles2d": synthetic.rectangles_2d,
         "rectangle3d": synthetic.rectangle_3d,
         "jets3d": synthetic.jets_3d,

@@ -19,6 +19,7 @@ with automatic channels-first → channels-last conversion.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import pickle
 from typing import Callable, Sequence
@@ -67,6 +68,17 @@ REGISTRY: dict[str, DatasetSpec] = {
         name="rectangle2d", ndim=2, has_flow=True,
         train=[(0, 2205)], val=[(2370, 2685)], test=[(2685, 3000)],
         batch_size=180, generator=synthetic.rectangle_2d,
+    ),
+    "rectangle2d_tex": _spec(
+        # rectangle2d with a static textured background (synthetic.rectangle_2d
+        # background="texture") — the unsupervised-flow benchmark: photometric
+        # terms are ill-posed on the reference's zero background (flow there is
+        # unconstrained), textured background anchors it like KITTI texture.
+        name="rectangle2d_tex", ndim=2, has_flow=True,
+        train=[(0, 2205)], val=[(2370, 2685)], test=[(2685, 3000)],
+        batch_size=180,
+        generator=functools.partial(synthetic.rectangle_2d,
+                                    background="texture"),
     ),
     "rectangles2d": _spec(  # multi-box variant (create_rectangles_2d.py)
         name="rectangles2d", ndim=2, has_flow=True,

@@ -118,11 +118,29 @@ def rectangle_2d(
     vel_max: int = 6,
     max_seq: int = 15,
     seed: int = 0,
+    background: str = "zero",
 ) -> np.ndarray:
-    """``[T, H, W, 3]``: density + (dy, dx) GT flow."""
+    """``[T, H, W, 3]``: density + (dy, dx) GT flow.
+
+    ``background="zero"`` reproduces the reference (create_rectangle_2d.py:
+    107-116 textured box on an empty field).  ``"texture"`` adds a STATIC
+    full-grid texture behind the box (GT flow stays 0 there) — deliberate
+    extension: on an all-zero background, unsupervised photometric flow is
+    ill-posed (any flow that lands on background or out-of-bounds zeros is
+    photometrically free, so background flow balloons unbounded — measured:
+    mean |flow| 26 px after 3 epochs).  A textured static background anchors
+    it, the same role image texture plays on KITTI.
+    """
     rng = np.random.default_rng(seed)
     tex = _hf_texture(rng, box)
     density, flow = _moving_box(rng, n_frames, grid, box, vel_max, max_seq, tex)
+    if background == "texture":
+        # half-intensity, finer-grained static field: box remains the salient
+        # moving object, census/photo terms see structure everywhere
+        bg = 0.5 * _hf_texture(rng, grid, step=8)
+        density = np.where(density > 0, density, bg[None])
+    elif background != "zero":
+        raise ValueError(f"unknown background {background!r}")
     return np.concatenate([density[..., None], flow], axis=-1)
 
 

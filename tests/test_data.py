@@ -170,3 +170,41 @@ def test_load_data_host_flip_override(tmp_path):
                           host_flip_aug=False)
     assert t_aug.shape[0] == 4 * t_base.shape[0]
     np.testing.assert_allclose(t_aug[: t_base.shape[0]], t_base)
+
+
+def test_rectangle_2d_textured_background():
+    """background="texture": static textured field behind the box, GT flow 0
+    there, and the unsupervised photometric/census terms decisively prefer the
+    GT flow over zero AND over a runaway flow (the zero-background failure
+    mode this variant exists to fix — see synthetic.rectangle_2d docstring)."""
+    import jax.numpy as jnp
+
+    from opticalflowscivis_tpu.losses.upflow import photo_loss_multi_type
+    from opticalflowscivis_tpu.ops.census import census_loss
+    from opticalflowscivis_tpu.ops.warp import backward_warp
+
+    arr = rectangle_2d(n_frames=12, grid=(64, 64), box=(20, 24), seed=3,
+                       background="texture")
+    density, flow = arr[..., 0], arr[..., 1:]
+    bg = density * (np.abs(flow).sum(-1) == 0)  # visible background pixels
+    assert (bg > 0).mean() > 0.3                # textured, not zero
+    assert bg.max() <= 0.5 + 1e-6               # half-intensity background
+    # static background: identical across frames wherever visible in both
+    vis = (bg[0] > 0) & (bg[-1] > 0)
+    np.testing.assert_allclose(bg[0][vis], bg[-1][vis])
+
+    im1 = jnp.asarray(arr[:-1, ..., :1])
+    im2 = jnp.asarray(arr[1:, ..., :1])
+    gt = jnp.asarray(arr[:-1, ..., 1:])
+    ones = jnp.ones_like(im1)
+
+    def losses(fl):
+        w = backward_warp(im2, fl)
+        return (float(photo_loss_multi_type(im1, w, ones)),
+                float(census_loss(im1, w)))
+
+    p_gt, c_gt = losses(gt)
+    p_zero, c_zero = losses(jnp.zeros_like(gt))
+    p_big, c_big = losses(jnp.full_like(gt, 26.0))
+    assert p_gt < p_zero < p_big
+    assert c_gt < c_zero < c_big
