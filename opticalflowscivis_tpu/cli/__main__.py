@@ -356,11 +356,24 @@ def cmd_train_upflow(argv):
         print(f"kitti: {len(ds)} multiview pairs, {spe} steps/epoch", flush=True)
         hist = tr.fit_kitti(ds, spe, epochs=args.epochs, resume=args.resume)
     else:
+        from opticalflowscivis_tpu.data import get_spec
         from opticalflowscivis_tpu.data.registry import load_raw_series
 
         frames = load_raw_series(args.dataset, args.data_dir, "train")[..., :1]
         pairs = frames_to_pairs(frames, in_channels=3)
-        hist = tr.fit(pairs, epochs=args.epochs, resume=args.resume)
+        # per-epoch val EPE vs GT flow when the dataset ships it (loss.json
+        # gains val_epe / val_epe_zero_flow — the skill-vs-trivial trajectory)
+        spec = get_spec(args.dataset)
+        val_pairs = val_flow = None
+        series_val = load_raw_series(args.dataset, args.data_dir, "val")
+        if (spec.has_flow and series_val.shape[-1] == 1 + spec.ndim
+                and series_val.shape[0] >= 2):
+            k = min(33, series_val.shape[0])
+            val_pairs = frames_to_pairs(series_val[:k, ..., :1], in_channels=3)
+            val_flow = (series_val[: k - 1, ..., 1 : 1 + spec.ndim]
+                        * spec.gt_flow_stride)
+        hist = tr.fit(pairs, epochs=args.epochs, resume=args.resume,
+                      val_pairs=val_pairs, val_flow=val_flow)
     print(json.dumps({"final": hist[-1] if hist else None}), flush=True)
 
 

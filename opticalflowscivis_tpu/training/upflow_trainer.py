@@ -196,7 +196,14 @@ class UPFlowTrainer:
         return self.state
 
     def fit(self, pairs: np.ndarray, epochs: int | None = None,
-            log_every: int = 20, resume: bool = False):
+            log_every: int = 20, resume: bool = False,
+            val_pairs: np.ndarray | None = None,
+            val_flow: np.ndarray | None = None):
+        """``val_pairs [N,2,*S,C]`` + ``val_flow [N,*S,ndim]`` (GT per-frame
+        displacement, already gt_flow_stride-scaled): per-epoch mean EPE of the
+        forward flow is logged to loss.json as ``val_epe`` next to the constant
+        ``val_epe_zero_flow`` baseline — the skill-vs-trivial-predictor
+        trajectory the quality reports quote."""
         cfg = self.cfg
         pairs, _ = pad_to_multiple(pairs, cfg.pad_multiple, leading_axes=2)
         epochs = epochs if epochs is not None else cfg.n_epoch
@@ -258,10 +265,35 @@ class UPFlowTrainer:
             epoch_means = {
                 k: float(v) / max(n, 1) for k, v in (meter_dev or {}).items()
             }
+            if val_pairs is not None and val_flow is not None:
+                epoch_means["val_epe"] = self.val_epe(val_pairs, val_flow)
+                epoch_means["val_epe_zero_flow"] = float(
+                    np.linalg.norm(val_flow, axis=-1).mean()
+                )
+                print(
+                    f"epoch {epoch} val_epe {epoch_means['val_epe']:.4f} "
+                    f"(zero-flow {epoch_means['val_epe_zero_flow']:.4f})",
+                    flush=True,
+                )
             history.append(epoch_means)
             self._append_loss_json(epoch_means)
             self.save_checkpoint()
         return history
+
+    def val_epe(self, val_pairs: np.ndarray, val_flow: np.ndarray) -> float:
+        """Mean EPE of the forward flow vs GT displacement on val pairs."""
+        n_data = self.mesh.shape["data"]
+        k = (val_pairs.shape[0] // n_data) * n_data
+        if k == 0:  # fewer val pairs than devices: repeat to fill one shard each
+            reps = -(-n_data // val_pairs.shape[0])
+            val_pairs = np.tile(val_pairs, (reps,) + (1,) * (val_pairs.ndim - 1))
+            val_flow = np.tile(val_flow, (reps,) + (1,) * (val_flow.ndim - 1))
+            k = n_data
+        _, extras = self.predict(val_pairs[:k])
+        flow = np.asarray(extras["flow_f"])
+        sl = tuple(slice(0, s) for s in val_flow.shape[1:-1])
+        flow = flow[(slice(None),) + sl]
+        return float(np.linalg.norm(flow - val_flow[:k], axis=-1).mean())
 
     def fit_kitti(self, dataset, steps_per_epoch: int,
                   epochs: int | None = None, log_every: int = 20,

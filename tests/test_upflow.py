@@ -123,3 +123,24 @@ def test_ex_runner_preset_trains_one_epoch(tmp_path):
     hist = tr.fit(frames_to_pairs(frames, 3), epochs=1)
     assert hist and np.isfinite(hist[0]["loss_total"])
     assert "eq_loss" in hist[0] and "oi_loss" in hist[0]
+
+
+def test_fit_logs_val_epe(tmp_path):
+    """fit(val_pairs, val_flow) logs per-epoch val_epe + zero-flow baseline,
+    including the fewer-val-pairs-than-devices tiling path (8-device mesh)."""
+    import json
+
+    cfg = UPFlowTrainConfig(
+        batch_size=8, n_epoch=1, bfloat16=False, hbm_dataset_gb=0.0,
+        exp_dir=str(tmp_path), pad_multiple=64, model=TINY,
+    )
+    tr = UPFlowTrainer(cfg)
+    rng = np.random.default_rng(0)
+    pairs = rng.uniform(size=(8, 2, 64, 64, 3)).astype(np.float32)
+    val_pairs = pairs[:3]  # < 8 devices -> tiling path
+    val_flow = np.zeros((3, 64, 64, 2), np.float32)
+    hist = tr.fit(pairs, epochs=1, val_pairs=val_pairs, val_flow=val_flow)
+    assert "val_epe" in hist[0] and np.isfinite(hist[0]["val_epe"])
+    assert hist[0]["val_epe_zero_flow"] == 0.0
+    logged = json.load(open(tmp_path / "loss.json"))["loss"][0]
+    assert "val_epe" in logged
