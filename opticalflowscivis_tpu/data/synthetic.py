@@ -135,9 +135,15 @@ def rectangle_2d(
     tex = _hf_texture(rng, box)
     density, flow = _moving_box(rng, n_frames, grid, box, vel_max, max_seq, tex)
     if background == "texture":
-        # half-intensity, finer-grained static field: box remains the salient
-        # moving object, census/photo terms see structure everywhere
-        bg = 0.5 * _hf_texture(rng, grid, step=8)
+        # Half-intensity PER-PIXEL random field: the box stays the salient
+        # moving object, and photometric/census terms see gradients at every
+        # pixel.  Pixel-scale variation matters: blockwise-constant texture
+        # (like the box's 10x10 cells) leaves flow unconstrained *within* a
+        # cell — measured: training EPE plateaus at ~2.5 px (≈ cell radius)
+        # on an 8-px blockwise background, because sub-block background flow
+        # is photometrically free.  Box displacements are integers, so a
+        # per-pixel field is exactly matchable under warping.
+        bg = rng.integers(30, 256, size=grid).astype(np.float32) / 255.0 * 0.5
         density = np.where(density > 0, density, bg[None])
     elif background != "zero":
         raise ValueError(f"unknown background {background!r}")
