@@ -539,21 +539,24 @@ def cmd_select(argv):
 
 
 def cmd_generate(argv):
+    from opticalflowscivis_tpu.data.registry import REGISTRY
+
+    generable = sorted(n for n, s in REGISTRY.items() if s.generator is not None)
     p = argparse.ArgumentParser(prog="generate")
-    p.add_argument("--dataset", default="rectangle2d",
-                   choices=["rectangle2d", "rectangle2d_tex", "rectangles2d",
-                            "rectangle3d", "lbs2d", "jets3d"])
+    p.add_argument("--dataset", default="rectangle2d", choices=generable)
     p.add_argument("--data_dir", default="data_cache")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--frames", type=int, default=0, help="0 = reference default")
     args = p.parse_args(argv)
 
+    import functools
     import pickle
 
     from opticalflowscivis_tpu.data import synthetic
 
-    import functools
-
+    # seed/frames-parameterizable synthetic generators; LBS-based registry
+    # generators (lbs2d/vortex2d/vortex2d_fast) run with their registry
+    # defaults (the seed only perturbs the initial condition noise there)
     gens = {
         "rectangle2d": synthetic.rectangle_2d,
         "rectangle2d_tex": functools.partial(synthetic.rectangle_2d,
@@ -563,10 +566,8 @@ def cmd_generate(argv):
         "jets3d": synthetic.jets_3d,
     }
     os.makedirs(args.data_dir, exist_ok=True)
-    if args.dataset == "lbs2d":
-        from opticalflowscivis_tpu.data.lbs import lattice_boltzmann_2d
-
-        arr = lattice_boltzmann_2d(seed=args.seed)
+    if args.dataset not in gens:
+        arr = REGISTRY[args.dataset].generator()
     else:
         kw = {"seed": args.seed}
         if args.frames:

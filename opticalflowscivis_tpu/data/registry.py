@@ -118,6 +118,21 @@ REGISTRY: dict[str, DatasetSpec] = {
         # on the quality-parity dataset.
         resample_stride=0,
     ),
+    "vortex2d_fast": _spec(
+        # vortex2d sampled every 60th sim step (~9 px mean / ~17 px p95
+        # advection per kept frame vs ~3.1 px at stride 20).  Round-2 parity
+        # measurement on vortex2d: the model beats linear cross-fade exactly
+        # where the kept-frame gap is 25-50 px (factors 8x/16x) — at 2x the
+        # 6 px gap leaves cross-fade near-optimal.  This variant moves the
+        # same physics so factor 2x (≈19 px gap) and 4x (≈37 px) land inside
+        # the model-wins regime, matching the reference headline data where
+        # its model wins from 2x up (error.py:442).
+        name="vortex2d_fast", ndim=2, has_flow=True,
+        train=[(0, 1050)], val=[(1050, 1200)], test=[(1200, 1500)],
+        batch_size=64, generator=None,  # set below (lbs imports jax)
+        gt_flow_stride=60.0,
+        resample_stride=0,
+    ),
     "droplet2d": _spec(
         name="droplet2d", ndim=2, has_flow=False,
         train=[(0, 51300)], val=[(51300, 54000)], test=[(0, 2700)],
@@ -206,6 +221,23 @@ def _vortex_generator() -> np.ndarray:
 
 REGISTRY["vortex2d"] = dataclasses.replace(
     REGISTRY["vortex2d"], generator=_vortex_generator
+)
+
+
+def _vortex_fast_generator() -> np.ndarray:
+    from opticalflowscivis_tpu.data.lbs import lattice_boltzmann_2d
+
+    # same sim as vortex2d, stride-60 sampling: 1500 kept frames need
+    # 4000 + 1500*60 = 94000 steps
+    arr = lattice_boltzmann_2d(
+        n_steps=94000, skip=4000, sample_every=60, inflow_u=0.1
+    )
+    arr[..., 0] = np.sqrt(arr[..., 1] ** 2 + arr[..., 2] ** 2)
+    return arr
+
+
+REGISTRY["vortex2d_fast"] = dataclasses.replace(
+    REGISTRY["vortex2d_fast"], generator=_vortex_fast_generator
 )
 
 

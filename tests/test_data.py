@@ -208,3 +208,32 @@ def test_rectangle_2d_textured_background():
     p_big, c_big = losses(jnp.full_like(gt, 26.0))
     assert p_gt < p_zero < p_big
     assert c_gt < c_zero < c_big
+
+
+def test_lbs_sim_smoke_inflow_keeps_wake_unsteady():
+    """Small LBS sim (same physics as lbs2d/vortex2d/vortex2d_fast): shape,
+    finite fields, and — with the sustained inlet — a wake that keeps
+    evolving rather than decaying to steady state.
+
+    (Warp-by-v*stride quality is NOT asserted here: at toy scale the wake is
+    quasi-steady and the near-cylinder boundary layer is large-|v| but
+    time-stationary, so the probe is uninformative — the full-size check is
+    the trained EPE on vortex2d, RESULTS.md.)"""
+    from opticalflowscivis_tpu.data.lbs import lattice_boltzmann_2d
+
+    stride = 20
+    arr = lattice_boltzmann_2d(nx=120, ny=40, n_steps=3000, skip=2200,
+                               sample_every=stride, inflow_u=0.12, seed=3)
+    assert arr.shape == ((3000 - 2200) // stride, 40, 120, 3)
+    assert np.isfinite(arr).all()
+    # sustained inflow keeps the wake moving: mean per-frame change nonzero
+    assert np.abs(np.diff(arr[..., 0], axis=0)).mean() > 1e-4
+
+
+def test_vortex2d_fast_spec():
+    from opticalflowscivis_tpu.data.registry import get_spec
+
+    spec = get_spec("vortex2d_fast")
+    assert spec.gt_flow_stride == 60.0
+    assert spec.resample_stride == 0
+    assert spec.has_flow and spec.generator is not None
