@@ -54,7 +54,23 @@ class UPFlowTrainConfig:
     # ARFlow/ex_runner spatial-transform distillation (losses/selfsup.py)
     eq_weight: float = 0.0  # equivariance distillation on transformed pairs
     oi_weight: float = 0.0  # occlusion-photometric loss on transformed pairs
-    model: UPFlowConfig = dataclasses.field(default_factory=UPFlowConfig)
+    # Training default = the reference's simple_train.py param_dict
+    # (:321-329): cost-volume feature normalization ON with per-image,
+    # per-channel moments (if_norm_before_cost_volume=True, both moment-
+    # sharing flags False).  UPFlowConfig itself keeps the UPFlow_net.config
+    # default (False, upflow.py:313) — but training without it does not
+    # learn: measured (round 2), a 64x64 pure 3-px translation converges to
+    # the shift in ~100 steps with normalization on, while with it off the
+    # photometric loss moves flow by <0.2 px/100 steps (unnormalized feature
+    # dot products leave the correlation features badly scaled for the
+    # shared decoder) — exactly the flat-EPE stall seen in long runs.
+    model: UPFlowConfig = dataclasses.field(
+        default_factory=lambda: UPFlowConfig(
+            if_norm_before_cost_volume=True,
+            norm_moments_across_channels=False,
+            norm_moments_across_images=False,
+        )
+    )
     loss: UPFlowLossConfig = dataclasses.field(default_factory=UPFlowLossConfig)
 
     @classmethod

@@ -144,3 +144,16 @@ def test_fit_logs_val_epe(tmp_path):
     assert hist[0]["val_epe_zero_flow"] == 0.0
     logged = json.load(open(tmp_path / "loss.json"))["loss"][0]
     assert "val_epe" in logged
+
+
+def test_train_config_defaults_cost_volume_norm():
+    """Training default ⇔ simple_train.py param_dict (:321-329): cost-volume
+    feature normalization ON, per-image/per-channel moments.  Without it the
+    unsupervised losses cannot move flow (measured — see UPFlowTrainConfig
+    docstring); UPFlowConfig itself keeps the UPFlow_net.config default."""
+    cfg = UPFlowTrainConfig()
+    assert cfg.model.if_norm_before_cost_volume
+    assert not cfg.model.norm_moments_across_channels
+    assert not cfg.model.norm_moments_across_images
+    from opticalflowscivis_tpu.models import UPFlowConfig
+    assert not UPFlowConfig().if_norm_before_cost_volume
