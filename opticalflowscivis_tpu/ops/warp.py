@@ -141,6 +141,98 @@ def backward_warp(
     return multilinear_sample(img, coords, padding, return_mask)
 
 
+def _slab_warp_core(
+    img_zpad: jax.Array,
+    flow: jax.Array,
+    r_z: int,
+    padding: str,
+    r_yx: int,
+    remat_taps: bool,
+    z0=0,
+    z_total: int | None = None,
+    vary_axes: tuple[str, ...] = (),
+) -> jax.Array:
+    """Shared slab-decomposition scan over z taps.
+
+    ``img_zpad`` is the (local) volume already padded with ``mz = r_z + 1``
+    slices on each z side (edge-repeat of the *global* volume boundary, real
+    neighbor slices for sharded callers); ``flow`` is the unpadded (local)
+    flow field.  ``z0`` is the global z index of local slice 0 and ``z_total``
+    the global depth — both only matter for the 'zeros' validity weights; they
+    may be traced values (``z0`` is a ``lax.axis_index`` under shard_map).
+    ``vary_axes`` names the shard_map mesh axes the inputs vary over — the
+    scan's zero initial carries must carry the same varying-manual-axes type
+    or lax.scan rejects the carry (replicated-in, varying-out).
+    """
+    b, z, y, x, c = flow.shape[:4] + img_zpad.shape[-1:]
+    mz = r_z + 1
+    if z_total is None:
+        z_total = z
+    fz = jnp.clip(flow[..., 0].astype(jnp.float32), -r_z, r_z)
+    flow_yx = flow[..., 1:3].reshape(b * z, y, x, 2)
+
+    # in-plane warp backend: r_yx > 0 selects the MXU one-hot kernel on TPU
+    # (exact for |flow_{y,x}| <= r_yx) — the jnp gather path costs ~250x more
+    # device time per slab on v5e
+    if r_yx > 0 and jax.default_backend() == "tpu":
+        from opticalflowscivis_tpu.ops.pallas.warp import (
+            backward_warp_pallas,
+            warp2d_pallas_supported,
+        )
+
+        if warp2d_pallas_supported((b * z, y, x, c), r_yx):
+            def warp2d(im, fl):
+                return backward_warp_pallas(im, fl, r_yx, padding)
+        else:
+            def warp2d(im, fl):
+                return backward_warp(im, fl, padding=padding)
+    else:
+        def warp2d(im, fl):
+            return backward_warp(im, fl, padding=padding)
+
+    # lax.scan over the (2*r_z+3) z taps: one traced 2-D warp instance instead
+    # of an unrolled tap loop (the unrolled version at 256^3 produced a program
+    # XLA took tens of minutes to compile).
+    def tap(carry, s):
+        out, vz_sum = carry
+        s_f = s.astype(jnp.float32) - mz
+        wz = jnp.maximum(0.0, 1.0 - jnp.abs(fz - s_f))
+        shifted = jax.lax.dynamic_slice_in_dim(img_zpad, s, z, axis=1)
+        warped = warp2d(shifted.reshape(b * z, y, x, c), flow_yx).reshape(
+            b, z, y, x, c
+        )
+        out = out + wz[..., None] * warped.astype(jnp.float32)
+        if vz_sum is not None:
+            zsrc = (
+                jnp.arange(z, dtype=jnp.float32).reshape(1, z, 1, 1) + z0 + s_f
+            )
+            vz_sum = vz_sum + wz * ((zsrc >= 0) & (zsrc <= z_total - 1))
+        return (out, vz_sum), None
+
+    out0 = jnp.zeros((b, z, y, x, c), jnp.float32)
+    vz0 = jnp.zeros((b, z, y, x), jnp.float32) if padding == "zeros" else None
+    if vary_axes:
+        out0 = jax.lax.pcast(out0, vary_axes, to="varying")
+        if vz0 is not None:
+            vz0 = jax.lax.pcast(vz0, vary_axes, to="varying")
+    if remat_taps:
+        # Training at 256^3: the scan's backward otherwise stacks per-tap
+        # residuals — (2*r_z+3) full-resolution warped volumes per warp call
+        # (~4 GB each at 256^3 x f32, the dominant term of a 44 GB OOM).
+        # Rematerializing the tap recomputes the cheap MXU 2-D warps in the
+        # backward pass instead; only the shared inputs stay resident.
+        tap = jax.checkpoint(tap)
+    (out, vz_sum), _ = jax.lax.scan(
+        tap, (out0, vz0), jnp.arange(2 * mz + 1, dtype=jnp.int32)
+    )
+    if vz_sum is not None:
+        # out-of-range z taps clamp to the edge slab whose in-bounds twin has
+        # the same value, so scaling by the in-bounds weight fraction converts
+        # border accumulation to exact zeros semantics.
+        out = out * jnp.clip(vz_sum, 0.0, 1.0)[..., None]
+    return out.astype(img_zpad.dtype)
+
+
 @partial(jax.jit, static_argnames=("r_z", "padding", "r_yx", "remat_taps"))
 def backward_warp3d_slab(
     img: jax.Array,
@@ -166,67 +258,9 @@ def backward_warp3d_slab(
 
     img: [B, Z, Y, X, C]; flow: [B, Z, Y, X, 3] row-major (dz, dy, dx).
     """
-    b, z, y, x, c = img.shape
-    fz = jnp.clip(flow[..., 0].astype(jnp.float32), -r_z, r_z)
-    flow_yx = flow[..., 1:3].reshape(b * z, y, x, 2)
-
-    # in-plane warp backend: r_yx > 0 selects the MXU one-hot kernel on TPU
-    # (exact for |flow_{y,x}| <= r_yx) — the jnp gather path costs ~250x more
-    # device time per slab on v5e
-    if r_yx > 0 and jax.default_backend() == "tpu":
-        from opticalflowscivis_tpu.ops.pallas.warp import (
-            backward_warp_pallas,
-            warp2d_pallas_supported,
-        )
-
-        if warp2d_pallas_supported((b * z, y, x, c), r_yx):
-            def warp2d(im, fl):
-                return backward_warp_pallas(im, fl, r_yx, padding)
-        else:
-            def warp2d(im, fl):
-                return backward_warp(im, fl, padding=padding)
-    else:
-        def warp2d(im, fl):
-            return backward_warp(im, fl, padding=padding)
-
     mz = r_z + 1
     img_zpad = jnp.pad(img, [(0, 0), (mz, mz), (0, 0), (0, 0), (0, 0)], mode="edge")
-
-    # lax.scan over the (2*r_z+3) z taps: one traced 2-D warp instance instead
-    # of an unrolled tap loop (the unrolled version at 256^3 produced a program
-    # XLA took tens of minutes to compile).
-    def tap(carry, s):
-        out, vz_sum = carry
-        s_f = s.astype(jnp.float32) - mz
-        wz = jnp.maximum(0.0, 1.0 - jnp.abs(fz - s_f))
-        shifted = jax.lax.dynamic_slice_in_dim(img_zpad, s, z, axis=1)
-        warped = warp2d(shifted.reshape(b * z, y, x, c), flow_yx).reshape(
-            b, z, y, x, c
-        )
-        out = out + wz[..., None] * warped.astype(jnp.float32)
-        if vz_sum is not None:
-            zsrc = jnp.arange(z, dtype=jnp.float32).reshape(1, z, 1, 1) + s_f
-            vz_sum = vz_sum + wz * ((zsrc >= 0) & (zsrc <= z - 1))
-        return (out, vz_sum), None
-
-    out0 = jnp.zeros((b, z, y, x, c), jnp.float32)
-    vz0 = jnp.zeros((b, z, y, x), jnp.float32) if padding == "zeros" else None
-    if remat_taps:
-        # Training at 256^3: the scan's backward otherwise stacks per-tap
-        # residuals — (2*r_z+3) full-resolution warped volumes per warp call
-        # (~4 GB each at 256^3 x f32, the dominant term of a 44 GB OOM).
-        # Rematerializing the tap recomputes the cheap MXU 2-D warps in the
-        # backward pass instead; only the shared inputs stay resident.
-        tap = jax.checkpoint(tap)
-    (out, vz_sum), _ = jax.lax.scan(
-        tap, (out0, vz0), jnp.arange(2 * mz + 1, dtype=jnp.int32)
-    )
-    if vz_sum is not None:
-        # out-of-range z taps clamp to the edge slab whose in-bounds twin has
-        # the same value, so scaling by the in-bounds weight fraction converts
-        # border accumulation to exact zeros semantics.
-        out = out * jnp.clip(vz_sum, 0.0, 1.0)[..., None]
-    return out.astype(img.dtype)
+    return _slab_warp_core(img_zpad, flow, r_z, padding, r_yx, remat_taps)
 
 
 @jax.jit

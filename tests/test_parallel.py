@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from opticalflowscivis_tpu.parallel import make_mesh
 from opticalflowscivis_tpu.parallel.spatial import halo_exchange, volume_batch_sharding
@@ -30,6 +30,55 @@ def test_halo_exchange_matches_edge_pad():
     out_np = np.asarray(out).reshape(8, 4 + 2 * halo, 3)
     for i in range(8):
         np.testing.assert_allclose(out_np[i], np.asarray(padded[4 * i : 4 * i + 8]))
+
+
+@pytest.mark.parametrize("padding", ["border", "zeros"])
+def test_backward_warp3d_sharded_matches_unsharded(padding):
+    """Depth-sharded slab warp == unsharded slab warp == direct gather warp."""
+    from opticalflowscivis_tpu.ops.warp import backward_warp, backward_warp3d_slab
+    from opticalflowscivis_tpu.parallel.spatial import backward_warp3d_sharded
+
+    mesh = make_mesh(n_data=2, n_space=4)
+    r_z = 3
+    b, z, y, x, c = 2, 16, 12, 10, 2  # z_local = 4 >= r_z + 1
+    key = jax.random.PRNGKey(7)
+    img = jax.random.uniform(key, (b, z, y, x, c), jnp.float32)
+    # flow_z within ±r_z (exactness domain), in-plane unrestricted
+    flow = jax.random.uniform(
+        jax.random.fold_in(key, 1), (b, z, y, x, 3), jnp.float32, -3.0, 3.0
+    )
+
+    ref = backward_warp(img, flow, padding=padding)
+    slab = backward_warp3d_slab(img, flow, r_z=r_z, padding=padding)
+    sharded = backward_warp3d_sharded(img, flow, mesh, r_z=r_z, padding=padding)
+    np.testing.assert_allclose(np.asarray(slab), np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(slab), atol=2e-5)
+
+
+def test_backward_warp3d_sharded_grads():
+    """The halo exchange differentiates (ppermute transpose): grads match."""
+    from opticalflowscivis_tpu.ops.warp import backward_warp3d_slab
+    from opticalflowscivis_tpu.parallel.spatial import backward_warp3d_sharded
+
+    mesh = make_mesh(n_data=1, n_space=4)
+    r_z = 2
+    key = jax.random.PRNGKey(3)
+    img = jax.random.uniform(key, (1, 12, 8, 8, 1), jnp.float32)
+    flow = jax.random.uniform(
+        jax.random.fold_in(key, 1), (1, 12, 8, 8, 3), jnp.float32, -1.5, 1.5
+    )
+    tgt = jax.random.uniform(jax.random.fold_in(key, 2), img.shape, jnp.float32)
+
+    def loss_sharded(im, fl):
+        return jnp.mean((backward_warp3d_sharded(im, fl, mesh, r_z=r_z) - tgt) ** 2)
+
+    def loss_slab(im, fl):
+        return jnp.mean((backward_warp3d_slab(im, fl, r_z=r_z) - tgt) ** 2)
+
+    g_sh = jax.grad(loss_sharded, argnums=(0, 1))(img, flow)
+    g_sl = jax.grad(loss_slab, argnums=(0, 1))(img, flow)
+    for a, b in zip(g_sh, g_sl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
 def test_spatially_sharded_3d_train_step():
