@@ -135,16 +135,29 @@ def rectangle_2d(
     tex = _hf_texture(rng, box)
     density, flow = _moving_box(rng, n_frames, grid, box, vel_max, max_seq, tex)
     if background == "texture":
-        # Half-intensity PER-PIXEL random field: the box stays the salient
-        # moving object, and photometric/census terms see gradients at every
-        # pixel.  Pixel-scale variation matters: blockwise-constant texture
-        # (like the box's 10x10 cells) leaves flow unconstrained *within* a
-        # cell — measured: training EPE plateaus at ~2.5 px (≈ cell radius)
-        # on an 8-px blockwise background, because sub-block background flow
-        # is photometrically free.  Box displacements are integers, so a
-        # per-pixel field is exactly matchable under warping.
-        bg = rng.integers(30, 256, size=grid).astype(np.float32) / 255.0 * 0.5
-        density = np.where(density > 0, density, bg[None])
+        # Half-intensity MULTI-OCTAVE random field (1/f-like, the spectrum of
+        # natural images).  Two measured failure modes pin down this choice:
+        # - blockwise-constant texture (like the box's 10x10 cells) leaves
+        #   flow unconstrained *within* a cell — EPE plateaus at ~2.5 px
+        #   (≈ cell radius) on an 8-px blockwise background;
+        # - PER-PIXEL-only noise has no low-frequency content, so pyramid
+        #   downsampling averages it flat: coarse decoder levels see zero
+        #   photometric/census gradient and a 10+ px background flow error
+        #   feels no pull back (measured: val EPE stalls at ~13 px while the
+        #   loss plateaus — only smoothness slowly shrinks the field).
+        # Summing octaves at cell sizes 1..32 keeps the pixel-scale term
+        # (box displacements are integers, so per-pixel content is exactly
+        # matchable under warping AND constrains sub-cell flow) while every
+        # pyramid level retains contrast, giving the coarse-to-fine decode a
+        # basin from arbitrarily large flow errors — the property that makes
+        # unsupervised flow work on natural images.
+        bg = np.zeros(grid, np.float32)
+        for cell in (1, 2, 4, 8, 16, 32):
+            coarse = rng.random((grid[0] // cell + 1, grid[1] // cell + 1))
+            bg += np.kron(coarse, np.ones((cell, cell)))[: grid[0], : grid[1]]
+        bg -= bg.min()
+        bg = (30 / 255.0 + bg / bg.max() * (1.0 - 30 / 255.0)) * 0.5
+        density = np.where(density > 0, density, bg[None].astype(np.float32))
     elif background != "zero":
         raise ValueError(f"unknown background {background!r}")
     return np.concatenate([density[..., None], flow], axis=-1)

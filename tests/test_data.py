@@ -208,6 +208,19 @@ def test_rectangle_2d_textured_background():
     p_big, c_big = losses(jnp.full_like(gt, 26.0))
     assert p_gt < p_zero < p_big
     assert c_gt < c_zero < c_big
+    # Mid-range pull: the photometric loss must INCREASE monotonically with a
+    # uniform background flow error (2 → 5 → 13 → 26 px), i.e. no plateau a
+    # coarse-to-fine decode can stall on.  This is the multi-octave-background
+    # property: per-pixel-only noise passes the 3-point probe above yet
+    # plateaus from ~2 px out (decorrelated texture = constant loss), and
+    # training measurably stalled at 13 px EPE on it (synthetic.rectangle_2d).
+    ray = [p_zero] + [losses(jnp.full_like(gt, m))[0] for m in (2.0, 5.0, 13.0)]
+    assert all(a < b for a, b in zip(ray, ray[1:])), ray
+    # Beyond ~13 px the abs_robust penalty ((|d|+0.01)^0.4) saturates by
+    # construction; only require no significant dip (the cost volume — which
+    # sees the octave contrast at every feature-pyramid level — supplies the
+    # long-range correction there, not the photometric gradient).
+    assert p_big > ray[-1] * 0.95, (p_big, ray)
 
 
 def test_lbs_sim_smoke_inflow_keeps_wake_unsteady():
