@@ -315,6 +315,8 @@ def cmd_train_upflow(argv):
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--census_weight", type=float, default=0.0)
     p.add_argument("--msd_weight", type=float, default=0.0)
+    p.add_argument("--lr", type=float, default=1e-4,
+                   help="Adam lr (simple_train.py:146 default 1e-4)")
     p.add_argument("--recipe", default="simple", choices=["simple", "ex_runner"],
                    help="simple = scripts/simple_train.py; ex_runner = "
                         "scripts/ex_runner.py (eq/oi spatial-transform distill)")
@@ -337,6 +339,7 @@ def cmd_train_upflow(argv):
     kw = dict(
         batch_size=args.batch_size,
         n_epoch=args.epochs,
+        lr=args.lr,
         exp_dir=os.path.join(args.results_dir, args.dataset, "upflow"),
         loss=UPFlowLossConfig(census_weight=args.census_weight,
                               msd_weight=args.msd_weight),
