@@ -315,8 +315,9 @@ def cmd_train_upflow(argv):
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--census_weight", type=float, default=0.0)
     p.add_argument("--msd_weight", type=float, default=0.0)
-    p.add_argument("--lr", type=float, default=1e-4,
-                   help="Adam lr (simple_train.py:146 default 1e-4)")
+    p.add_argument("--lr", type=float, default=None,
+                   help="Adam lr (default: recipe's own — 1e-4 for simple, "
+                        "simple_train.py:146; 1e-2 for ex_runner, ex_runner.py:26)")
     p.add_argument("--recipe", default="simple", choices=["simple", "ex_runner"],
                    help="simple = scripts/simple_train.py; ex_runner = "
                         "scripts/ex_runner.py (eq/oi spatial-transform distill)")
@@ -339,11 +340,12 @@ def cmd_train_upflow(argv):
     kw = dict(
         batch_size=args.batch_size,
         n_epoch=args.epochs,
-        lr=args.lr,
         exp_dir=os.path.join(args.results_dir, args.dataset, "upflow"),
         loss=UPFlowLossConfig(census_weight=args.census_weight,
                               msd_weight=args.msd_weight),
     )
+    if args.lr is not None:  # only override the recipe's own lr when asked
+        kw["lr"] = args.lr
     cfg = (UPFlowTrainConfig.preset_ex_runner(**kw)
            if args.recipe == "ex_runner" else UPFlowTrainConfig(**kw))
     tr = UPFlowTrainer(cfg)

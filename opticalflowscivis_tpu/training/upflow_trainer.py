@@ -82,10 +82,11 @@ class UPFlowTrainConfig:
         exponential decay γ=0.95 (:26-29).  The reference uses this to finetune
         from a pretrained checkpoint (:31) — call ``load_checkpoint`` first for
         the same workflow."""
-        return cls(
+        defaults = dict(
             lr=1e-2, weight_decay=1e-5, lr_gamma=0.95,
-            eq_weight=0.01, oi_weight=0.01, **kw,
+            eq_weight=0.01, oi_weight=0.01,
         )
+        return cls(**defaults | kw)  # explicit kwargs override the recipe
 
 
 def frames_to_pairs(frames: np.ndarray, in_channels: int = 3) -> np.ndarray:

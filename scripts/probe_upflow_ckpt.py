@@ -30,7 +30,7 @@ k = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 pairs = frames_to_pairs(series[:k, ..., :1], in_channels=3)
 gt = series[: k - 1, ..., 1 : 1 + spec.ndim] * spec.gt_flow_stride
 
-cfg = UPFlowTrainConfig(exp_dir=f"Results/{dataset}/upflow", n_data=1)
+cfg = UPFlowTrainConfig(exp_dir=os.environ.get("UPFLOW_EXP_DIR", f"Results/{dataset}/upflow"), n_data=1)
 tr = UPFlowTrainer(cfg)
 tr.init_state(pairs[:1])
 assert tr.load_checkpoint(), "no checkpoint"

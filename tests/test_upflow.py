@@ -157,3 +157,13 @@ def test_train_config_defaults_cost_volume_norm():
     assert not cfg.model.norm_moments_across_images
     from opticalflowscivis_tpu.models import UPFlowConfig
     assert not UPFlowConfig().if_norm_before_cost_volume
+
+
+def test_ex_runner_preset_accepts_lr_override():
+    """ADVICE r2: an explicit lr must override the recipe's 1e-2 without a
+    duplicate-kwarg TypeError (cli train_upflow --recipe ex_runner --lr)."""
+    from opticalflowscivis_tpu.training.upflow_trainer import UPFlowTrainConfig
+
+    cfg = UPFlowTrainConfig.preset_ex_runner(lr=5e-3, batch_size=2)
+    assert cfg.lr == 5e-3 and cfg.lr_gamma == 0.95 and cfg.eq_weight == 0.01
+    assert UPFlowTrainConfig.preset_ex_runner().lr == 1e-2
