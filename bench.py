@@ -163,6 +163,44 @@ def bench_train_step():
     return 64 / sec
 
 
+def bench_upflow_train():
+    """UPFlow unsupervised train step at the reference's KITTI protocol —
+    batch 8, 256x832 crops (simple_train.py:56-59 records ~9.8 pairs/s on the
+    reference GPU; the ONLY apples-to-apples training-throughput anchor the
+    reference publishes).  Pallas correlation is on via ops.cost_volume auto
+    dispatch; data is device-resident (the measured quantity is the step)."""
+    from opticalflowscivis_tpu.training.upflow_trainer import (
+        UPFlowTrainConfig,
+        UPFlowTrainer,
+    )
+
+    batch = 8
+    cfg = UPFlowTrainConfig(batch_size=batch, exp_dir="/tmp/bench_upflow",
+                            n_data=1, hbm_dataset_gb=0.0)
+    tr = UPFlowTrainer(cfg)
+    key = jax.random.PRNGKey(0)
+    pairs = np.asarray(
+        jax.random.uniform(key, (batch, 2, 256, 832, 3), jnp.float32))
+    tr.init_state(pairs)
+    dev = jax.device_put(
+        {"im1": jnp.asarray(pairs[:, 0]), "im2": jnp.asarray(pairs[:, 1])},
+        tr.batch_sharding,
+    )
+    state = tr.state
+    rng = jax.random.PRNGKey(1)
+
+    def step(eps, batch_d):
+        nonlocal state
+        state, parts = tr._jit_train(
+            state, jax.tree.map(lambda x: x + eps, batch_d), rng)
+        return parts["loss_total"] * 1e-6
+
+    sec = _timed_chain(step, (dev,), iters=8)
+    _DETAILS["upflow_train_vs_reference_9p8_pairs_per_sec"] = round(
+        (batch / sec) / REFERENCE_TRAIN_PAIRS_PER_SEC, 3)
+    return batch / sec
+
+
 def main():
     if os.environ.get("BENCH_FORCE_CPU"):
         # Env JAX_PLATFORMS is not honored under the axon plugin; the config
@@ -221,6 +259,7 @@ def main():
     run("rife3d_inference_64cube_vols_per_sec",
         lambda: bench_rife3d_inference(64), 90)
     run("rife2d_train_128x128_pairs_per_sec", bench_train_step, 120)
+    run("upflow_train_256x832_b8_pairs_per_sec", bench_upflow_train, 150)
     if jax.default_backend() != "cpu":  # 256^3 headline (hours on CPU)
         run("rife3d_inference_256cube_vols_per_sec",
             lambda: bench_rife3d_inference(256, batch=1), 180)

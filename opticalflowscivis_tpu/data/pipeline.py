@@ -188,3 +188,62 @@ class TupleDataset:
                 yield cur
         if nxt is not None:
             yield nxt
+
+
+class PrefetchSampler:
+    """Background-thread batch prefetch over any ``.sample(batch)`` dataset.
+
+    ⇔ the reference's ``tools.data_prefetcher`` / ``DataProvider`` (UPFlow/
+    utils/tools.py:177-296): its 8 DataLoader workers + CUDA-stream prefetch
+    hide per-sample cv2 decode + crop time behind the train step.  Here
+    ``workers`` threads each loop ``dataset.sample(batch_size)`` into a bounded
+    queue (cv2/numpy release the GIL for the heavy parts), so the train loop's
+    ``sample`` is a queue pop.  Thread-safety note: ``KittiPairDataset.sample``
+    uses a per-dataset numpy Generator — with workers > 1 pass ``make_dataset``
+    so each worker owns an independently-seeded dataset instance.
+    """
+
+    def __init__(self, dataset=None, batch_size: int = 8, depth: int = 4,
+                 workers: int = 2, make_dataset=None):
+        import queue
+        import threading
+
+        self.batch_size = batch_size
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._threads = []
+        for w in range(workers):
+            ds = make_dataset(w) if make_dataset is not None else dataset
+            if workers > 1 and make_dataset is None:
+                raise ValueError("workers > 1 needs make_dataset (per-worker RNG)")
+            t = threading.Thread(target=self._loop, args=(ds,), daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _loop(self, ds):
+        while not self._stop.is_set():
+            batch = ds.sample(self.batch_size)
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.2)
+                    break
+                except Exception:  # queue.Full
+                    continue
+
+    def sample(self, batch_size: int):
+        if batch_size > self.batch_size:
+            raise ValueError(
+                f"prefetch built for batch {self.batch_size}, asked {batch_size}")
+        batch = self._q.get()
+        if batch_size == self.batch_size:
+            return batch
+        return {k: v[:batch_size] for k, v in batch.items()}
+
+    def close(self):
+        self._stop.set()
+        # drain so producers blocked on put() can observe the stop flag
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass

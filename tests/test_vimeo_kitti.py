@@ -155,3 +155,65 @@ def test_boundary_warp_changes_photo_loss_vs_zero_offset(tmp_path):
     _, without = upflow_losses(outputs, im1, im2, cfg)
     assert not np.isclose(float(with_raw["photo_loss"]),
                           float(without["photo_loss"]))
+
+
+def test_kitti_hbm_cache_builds_and_dedups(tmp_path):
+    from opticalflowscivis_tpu.data.kitti import KittiHBMCache
+
+    d = _make_kitti_multiview(tmp_path)
+    cache = KittiHBMCache(d, max_pairs=None, crop=(64, 64), rho=8)
+    assert len(cache) == 4
+    assert cache.frames.shape == (6, 96, 160, 3)  # 2 seq x 3 frames, deduped
+    assert cache.pair_idx.shape == (4, 2)
+    # capped variant keeps only referenced frames
+    small = KittiHBMCache(d, max_pairs=2, crop=(64, 64), rho=8)
+    assert len(small) == 2 and small.frames.shape[0] <= 4
+
+
+def test_kitti_fit_hbm_two_steps(tmp_path):
+    """HBM-resident path: on-device crops + aug + boundary-dilated warping;
+    only indices/offsets/bits cross the host boundary per step (the relay-
+    friendly KITTI training mode — VERDICT r2 item 7)."""
+    from opticalflowscivis_tpu.data.kitti import KittiHBMCache
+    from opticalflowscivis_tpu.losses.upflow import UPFlowLossConfig
+    from opticalflowscivis_tpu.models import UPFlowConfig
+    from opticalflowscivis_tpu.training.upflow_trainer import (
+        UPFlowTrainConfig,
+        UPFlowTrainer,
+    )
+
+    d = _make_kitti_multiview(tmp_path)
+    cache = KittiHBMCache(d, max_pairs=None, crop=(64, 64), rho=8)
+    cfg = UPFlowTrainConfig(
+        batch_size=8, bfloat16=False, exp_dir=str(tmp_path / "exp"),
+        pad_multiple=64,
+        model=UPFlowConfig(
+            num_chs=(3, 4, 8, 8, 12, 16, 16),
+            estimator_f_channels=(16, 16, 12, 8, 8),
+            context_f_channels=(16, 16, 16, 12, 8, 8, 2),
+            search_range=2,
+        ),
+        loss=UPFlowLossConfig(smooth_order_1_weight=0.1),
+    )
+    tr = UPFlowTrainer(cfg)
+    hist = tr.fit_kitti_hbm(cache, steps_per_epoch=2, epochs=1, log_every=0)
+    assert len(hist) == 1
+    assert np.isfinite(hist[0]["loss_total"])
+    assert os.path.exists(os.path.join(str(tmp_path / "exp"), "upflow.ckpt"))
+
+
+def test_prefetch_sampler_threads_and_slicing(tmp_path):
+    from opticalflowscivis_tpu.data.pipeline import PrefetchSampler
+
+    d = _make_kitti_multiview(tmp_path)
+    pf = PrefetchSampler(
+        batch_size=4, workers=2, depth=2,
+        make_dataset=lambda w: KittiPairDataset(d, crop=(64, 64), seed=w),
+    )
+    try:
+        b = pf.sample(4)
+        assert b["im1"].shape == (4, 64, 64, 3)
+        small = pf.sample(2)  # init-time probe uses a smaller batch
+        assert small["im1"].shape == (2, 64, 64, 3)
+    finally:
+        pf.close()
