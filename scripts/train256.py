@@ -103,6 +103,25 @@ def main():
         val_loss_first=hist[0]["loss_G"],
         val_loss_final=hist[-1]["loss_G"],
     )
+    # quality row (VERDICT r2 item 5): interp PSNR on val vs the copy-frame
+    # and linear-average trivial baselines — 'learning', not just 'stepping'
+    def _psnr(a, b):
+        mse = float(np.mean((a - b) ** 2))
+        return float(10 * np.log10(1.0 / max(mse, 1e-12)))
+
+    val = tuples[n_train:]
+    preds = []
+    for i in range(val.shape[0]):  # batch 1: the eval fwd must fit like train
+        _, extras = tr.predict(val[i : i + 1])
+        preds.append(np.asarray(extras["pred"], np.float32)[..., :1])
+    pred = np.concatenate(preds, axis=0)
+    gt = val[:, 2, ..., :1]
+    f0, f1 = val[:, 0, ..., :1], val[:, 1, ..., :1]
+    report.update(
+        val_psnr_model=round(_psnr(pred, gt), 3),
+        val_psnr_copy_frame=round(_psnr(f0, gt), 3),
+        val_psnr_linear=round(_psnr((f0 + f1) / 2, gt), 3),
+    )
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
         report["hbm_peak_bytes"] = int(stats.get("peak_bytes_in_use", 0))
