@@ -616,6 +616,8 @@ def cmd_generate(argv):
         "rectangle2d": synthetic.rectangle_2d,
         "rectangle2d_tex": functools.partial(synthetic.rectangle_2d,
                                              background="texture"),
+        "rectangle2d_tex_pan": functools.partial(synthetic.rectangle_2d,
+                                                 background="pan"),
         "rectangles2d": synthetic.rectangles_2d,
         "rectangle3d": synthetic.rectangle_3d,
         "jets3d": synthetic.jets_3d,

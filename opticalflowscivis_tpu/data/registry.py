@@ -80,6 +80,22 @@ REGISTRY: dict[str, DatasetSpec] = {
         generator=functools.partial(synthetic.rectangle_2d,
                                     background="texture"),
     ),
+    "rectangle2d_tex_pan": _spec(
+        # rectangle2d_tex with the background PANNING under the box (bounded
+        # integer camera walk, synthetic.rectangle_2d background="pan") — the
+        # full-field-motion regime of KITTI egomotion, where the reference's
+        # unsupervised recipe demonstrably trains (simple_train.py:56-59).
+        # Static textured backgrounds are a reinforced zero-flow attractor
+        # for robust photometric losses (measured, round 3); every-pixel
+        # motion removes the attractor while the stamped GT stays the exact
+        # apparent displacement, so EPE-vs-zero-flow remains a fair skill
+        # metric.
+        name="rectangle2d_tex_pan", ndim=2, has_flow=True,
+        train=[(0, 2205)], val=[(2370, 2685)], test=[(2685, 3000)],
+        batch_size=180,
+        generator=functools.partial(synthetic.rectangle_2d,
+                                    background="pan"),
+    ),
     "rectangles2d": _spec(  # multi-box variant (create_rectangles_2d.py)
         name="rectangles2d", ndim=2, has_flow=True,
         train=[(0, 2205)], val=[(2370, 2685)], test=[(2685, 3000)],

@@ -111,6 +111,19 @@ def _hf_texture(rng: np.random.Generator, box: tuple[int, ...], step: int = 10) 
     return tex
 
 
+def _multi_octave_field(rng: np.random.Generator,
+                        shape: tuple[int, int]) -> np.ndarray:
+    """1/f-like random field in [30/255, 1] * 0.5 (octave sum, cells 1..32)."""
+    bg = np.zeros(shape, np.float32)
+    for cell in (1, 2, 4, 8, 16, 32):
+        coarse = rng.random((shape[0] // cell + 1, shape[1] // cell + 1))
+        bg += np.kron(coarse, np.ones((cell, cell)))[: shape[0], : shape[1]]
+    bg -= bg.min()
+    return ((30 / 255.0 + bg / bg.max() * (1.0 - 30 / 255.0)) * 0.5).astype(
+        np.float32
+    )
+
+
 def rectangle_2d(
     n_frames: int = 3000,
     grid: tuple[int, int] = (128, 128),
@@ -119,6 +132,7 @@ def rectangle_2d(
     max_seq: int = 15,
     seed: int = 0,
     background: str = "zero",
+    pan_vel_max: int = 3,
 ) -> np.ndarray:
     """``[T, H, W, 3]``: density + (dy, dx) GT flow.
 
@@ -130,11 +144,42 @@ def rectangle_2d(
     photometrically free, so background flow balloons unbounded — measured:
     mean |flow| 26 px after 3 epochs).  A textured static background anchors
     it, the same role image texture plays on KITTI.
+
+    ``background="pan"`` additionally PANS that texture under the box with a
+    bounded integer random walk (``pan_vel_max`` px/frame, the camera-motion
+    analogue): every pixel moves every frame, like KITTI under egomotion —
+    the regime the reference's unsupervised recipe actually trains in
+    (UPFlow/scripts/simple_train.py:56-59 on kitti multiview).  A *static*
+    textured background is a reinforced zero-flow attractor for the robust
+    photometric/census penalties (measured: 36K steps pinned at the zero-flow
+    baseline), which KITTI never exhibits because egomotion moves every
+    pixel.  Integer pan keeps content exactly matchable under warping, and
+    the stamped GT is the exact apparent displacement: box pixels carry the
+    box's screen-space step, background pixels carry ``-(camera step)``.
     """
     rng = np.random.default_rng(seed)
     tex = _hf_texture(rng, box)
     density, flow = _moving_box(rng, n_frames, grid, box, vel_max, max_seq, tex)
-    if background == "texture":
+    if background == "pan":
+        pad = 48
+        big = _multi_octave_field(rng, (grid[0] + 2 * pad, grid[1] + 2 * pad))
+        # camera window = a "box" of size `grid` walking inside the big field
+        cam = _box_trajectory(
+            rng, n_frames, tuple(g + 2 * pad for g in grid), grid,
+            pan_vel_max, max_seq,
+        )
+        for t in range(n_frames):
+            win = big[cam[t][0] : cam[t][0] + grid[0],
+                      cam[t][1] : cam[t][1] + grid[1]]
+            covered = density[t] > 0
+            density[t] = np.where(covered, density[t], win)
+            # content at screen x sits at big[cam[t]+x]; at t+1 it appears at
+            # x - (cam[t+1]-cam[t]): apparent background flow = -(camera step)
+            flow[t] = np.where(
+                covered[..., None], flow[t],
+                -(cam[t + 1] - cam[t]).astype(np.float32),
+            )
+    elif background == "texture":
         # Half-intensity MULTI-OCTAVE random field (1/f-like, the spectrum of
         # natural images).  Two measured failure modes pin down this choice:
         # - blockwise-constant texture (like the box's 10x10 cells) leaves
@@ -151,13 +196,8 @@ def rectangle_2d(
         # pyramid level retains contrast, giving the coarse-to-fine decode a
         # basin from arbitrarily large flow errors — the property that makes
         # unsupervised flow work on natural images.
-        bg = np.zeros(grid, np.float32)
-        for cell in (1, 2, 4, 8, 16, 32):
-            coarse = rng.random((grid[0] // cell + 1, grid[1] // cell + 1))
-            bg += np.kron(coarse, np.ones((cell, cell)))[: grid[0], : grid[1]]
-        bg -= bg.min()
-        bg = (30 / 255.0 + bg / bg.max() * (1.0 - 30 / 255.0)) * 0.5
-        density = np.where(density > 0, density, bg[None].astype(np.float32))
+        bg = _multi_octave_field(rng, grid)
+        density = np.where(density > 0, density, bg[None])
     elif background != "zero":
         raise ValueError(f"unknown background {background!r}")
     return np.concatenate([density[..., None], flow], axis=-1)

@@ -223,6 +223,45 @@ def test_rectangle_2d_textured_background():
     assert p_big > ray[-1] * 0.95, (p_big, ray)
 
 
+def test_rectangle_2d_pan_background():
+    """background="pan": the full-field-motion regime (KITTI egomotion
+    analogue).  Asserts the three properties the unsupervised recipe needs:
+    every pixel moves (no static-background zero-flow attractor — the
+    measured round-3 freeze mode), the stamped GT is the exact apparent
+    displacement (warping by it reconstructs the frame away from occlusion),
+    and zero flow is decisively NOT photometrically free."""
+    import jax.numpy as jnp
+
+    from opticalflowscivis_tpu.ops.census import census_loss
+    from opticalflowscivis_tpu.ops.warp import backward_warp
+
+    arr = rectangle_2d(n_frames=24, grid=(64, 64), box=(20, 24), seed=3,
+                       background="pan")
+    density, flow = arr[..., 0], arr[..., 1:]
+    # full-field motion: the camera walk moves (nearly) every pixel most
+    # frames; over the clip the zero-flow baseline is whole-pixels large
+    assert (density > 0).all()  # background fills the frame
+    epe_zero = np.sqrt((flow**2).sum(-1)).mean()
+    assert epe_zero > 1.0, epe_zero
+    # exact apparent displacement: integer pan + integer box steps -> nearest
+    # warp by GT reproduces frame t except occlusion/inflow bands
+    t = 4
+    H, W = density.shape[1:]
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    ys = np.clip((yy + flow[t, ..., 0]).astype(int), 0, H - 1)
+    xs = np.clip((xx + flow[t, ..., 1]).astype(int), 0, W - 1)
+    match = np.abs(density[t + 1][ys, xs] - density[t]) < 1e-6
+    assert match.mean() > 0.8, match.mean()
+
+    im1 = jnp.asarray(arr[:-1, ..., :1])
+    im2 = jnp.asarray(arr[1:, ..., :1])
+    gt = jnp.asarray(arr[:-1, ..., 1:])
+    c_gt = float(census_loss(im1, backward_warp(im2, gt)))
+    c_zero = float(census_loss(im1, backward_warp(im2, jnp.zeros_like(gt))))
+    # zero flow is NOT an attractor here: census at zero ≫ census at GT
+    assert c_zero > 3 * c_gt, (c_zero, c_gt)
+
+
 def test_lbs_sim_smoke_inflow_keeps_wake_unsteady():
     """Small LBS sim (same physics as lbs2d/vortex2d/vortex2d_fast): shape,
     finite fields, and — with the sustained inlet — a wake that keeps
