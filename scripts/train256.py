@@ -38,9 +38,16 @@ def main():
                     help="single-chip 256^3 mode: run the final IFBlock at "
                          "scale 2 (4,2,2) so no conv consumes a full-res "
                          "input; warps, merge and losses stay at full res")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (jax.config, not env vars — "
+                         "the axon sitecustomize can override the latter); "
+                         "for the small-grid coarse_final A-B runs")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from opticalflowscivis_tpu.data import group_tuples
     from opticalflowscivis_tpu.data.synthetic import rectangle_3d
