@@ -461,12 +461,19 @@ class UPFlowTrainer:
             )
             if resume:
                 self.load_checkpoint()
-        jit_step = jax.jit(
-            step_fn,
-            in_shardings=(self.repl,) * 7,
-            out_shardings=(self.repl, self.repl),
-            donate_argnums=(0,),
-        )
+        # step_fn is a fresh closure per call, so a bare jax.jit would
+        # recompile on every fit_kitti_hbm invocation (minutes per remote
+        # compile); cache the jitted wrapper on the geometry it closes over.
+        jit_key = (ch, cw, rho, f_count, fh, fw, fc, batch)
+        if getattr(self, "_hbm_jit_key", None) != jit_key:
+            self._hbm_jit_step = jax.jit(
+                step_fn,
+                in_shardings=(self.repl,) * 7,
+                out_shardings=(self.repl, self.repl),
+                donate_argnums=(0,),
+            )
+            self._hbm_jit_key = jit_key
+        jit_step = self._hbm_jit_step
         rng_np = np.random.default_rng(cfg.seed + 2)
         root_key = jax.random.PRNGKey(cfg.seed + 1)
         history = []
