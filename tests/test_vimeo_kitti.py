@@ -200,6 +200,15 @@ def test_kitti_fit_hbm_two_steps(tmp_path):
     assert len(hist) == 1
     assert np.isfinite(hist[0]["loss_total"])
     assert os.path.exists(os.path.join(str(tmp_path / "exp"), "upflow.ckpt"))
+    # repeated calls (resume / staged schedules / benchmarks) must reuse both
+    # the device-resident frame upload and the jitted step — a fresh closure
+    # per call recompiles for minutes over the remote relay (regression:
+    # round-3 throughput bench read 0.166 it/s because the "steady-state"
+    # epoch paid a full recompile)
+    jit1, frames1 = tr._hbm_jit_step, tr._hbm_frames_dev
+    tr.fit_kitti_hbm(cache, steps_per_epoch=1, epochs=1, log_every=0)
+    assert tr._hbm_jit_step is jit1
+    assert tr._hbm_frames_dev is frames1
 
 
 def test_prefetch_sampler_threads_and_slicing(tmp_path):
