@@ -87,6 +87,11 @@ def main():
     results = {"backend": jax.default_backend(), "batch": B, "hw": [H, W],
                "iters": iters}
 
+    def _dump():
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(results, f, indent=2)
+
     def bench(name, make_fn, *args):
         """make_fn(eps, *args) -> scalar; jit, time (TPU), cost-analyze."""
         jitted = jax.jit(make_fn)
@@ -102,6 +107,7 @@ def main():
         w = f", wall {entry.get('wall_s', 0)*1e3:8.1f} ms" if on_tpu else ""
         print(f"{name:34s} F={flops/1e9:9.2f} GF  B={bytes_/1e9:9.2f} GB{w}",
               flush=True)
+        _dump()  # incremental: remote compiles are slow; keep partials
 
     # 1. full train step (fwd+bwd+adamw) — state is donated in the real path;
     #    here keep it un-donated so the chain can reuse it.
@@ -113,6 +119,31 @@ def main():
         return parts["loss_total"] * 1e-6 + 0.0 * new_state.step
 
     bench("train_step_full", full_step, state0, im1, im2)
+
+    # 1b. the same step timed exactly like the real training loop: donated
+    #     state threaded through tr._jit_train back-to-back, batch constant,
+    #     materialize once at the end.  Compares against the eps-chained
+    #     pattern above to expose any methodology gap (roofline r3 read
+    #     5.7 pairs/s chained while fit_kitti_hbm sustains ~12 pairs/s).
+    if on_tpu:
+        batch_dev = jax.device_put({"im1": im1, "im2": im2}, tr.batch_sharding)
+        st = jax.device_put(tr.state, tr.repl)
+        st, parts = tr._jit_train(st, batch_dev, rng)  # warm (already compiled)
+        float(parts["loss_total"])
+        n_loop = max(iters, 10)
+        t0 = time.perf_counter()
+        for i in range(n_loop):
+            st, parts = tr._jit_train(
+                st, batch_dev, jax.random.fold_in(rng, i))
+        float(parts["loss_total"])
+        loop_s = (time.perf_counter() - t0) / n_loop
+        results["train_loop_jit_train"] = {
+            "wall_s": loop_s, "pairs_per_sec": B / loop_s}
+        print(f"{'train_loop_jit_train':34s} wall {loop_s*1e3:8.1f} ms "
+              f"({B/loop_s:.2f} pairs/s)", flush=True)
+        _dump()
+        tr.init_state(pairs)  # st consumed the donated state; rebuild
+        state0 = tr.state
 
     # 2. loss_fn value_and_grad only (no optimizer update)
     def fwd_bwd(eps, params, a, b):
