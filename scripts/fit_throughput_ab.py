@@ -55,7 +55,11 @@ def main():
     # --- A: fit()'s hot loop (HBM-resident pairs, index gather per step).
     # 8 bf16 pairs (~20 MB): the relay's ~2 MB/s bulk H2D makes larger pools
     # minutes of upload; the loop's work is size-independent of the pool.
+    def note(msg):
+        print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
     pairs = rng_np.uniform(0, 1, (8, 2, 256, 832, 3)).astype(np.float32)
+    note("A: trainer init + upload")
     cfg = UPFlowTrainConfig(batch_size=8, exp_dir="/tmp/ab_fit", n_data=1)
     tr = UPFlowTrainer(cfg)
     tr.init_state(pairs[:1])
@@ -76,7 +80,9 @@ def main():
         tr.state = state
         return f
 
+    note("A: compile/warm _jit_train_idx")
     run_idx(2, 0)  # warm/compile
+    note("A: timed loop")
     t0 = time.time()
     run_idx(STEPS, 2)
     report("A_fit_idx_loop", (time.time() - t0) / STEPS)
@@ -98,7 +104,9 @@ def main():
         tr.state = state
         return f
 
+    note("A2: compile/warm _jit_train")
     run_const(2, 0)
+    note("A2: timed loop")
     t0 = time.time()
     run_const(STEPS, 2)
     report("A2_const_batch_loop", (time.time() - t0) / STEPS)
@@ -114,11 +122,14 @@ def main():
             for f in range(5):
                 cv2.imwrite(os.path.join(d, f"{s:06d}_{10+f:02d}.png"),
                             np.roll(base, 3 * f, axis=1))
+        note("B: building KittiHBMCache (decode + upload)")
         cache = KittiHBMCache(d, max_pairs=None)
         cfg2 = UPFlowTrainConfig(batch_size=8, exp_dir="/tmp/ab_hbm", n_data=1,
                                  hbm_dataset_gb=0.0)
         tr2 = UPFlowTrainer(cfg2)
+        note("B: compile/warm fit_kitti_hbm")
         tr2.fit_kitti_hbm(cache, steps_per_epoch=2, epochs=1, log_every=0)
+        note("B: timed epoch")
         t0 = time.time()
         tr2.fit_kitti_hbm(cache, steps_per_epoch=STEPS, epochs=1, log_every=0)
         report("B_fit_kitti_hbm", (time.time() - t0) / STEPS)
