@@ -229,11 +229,11 @@ def main():
         "rife2d_inference_flops_per_call": flops_per_call,
         "device_kind": jax.devices()[0].device_kind,
         "assumed_peak_flops": peak,
-        "vs_upflow_train_anchor_9p8": round(
-            pairs_per_sec / REFERENCE_TRAIN_PAIRS_PER_SEC, 3
-        ),
         "note": "vs_baseline in the headline line is achieved MFU "
-                "(no comparable reference inference number exists)",
+                "(no comparable reference inference number exists); the "
+                "reference's only training anchor (9.8 pairs/s UPFlow) is "
+                "compared like-for-like in "
+                "upflow_train_vs_reference_9p8_pairs_per_sec",
     })
 
     # Hard backstop: the headline is out — if any detail sub-bench wedges (the
