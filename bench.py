@@ -189,13 +189,21 @@ def bench_upflow_train():
     state = tr.state
     rng = jax.random.PRNGKey(1)
 
-    def step(eps, batch_d):
-        nonlocal state
+    # Loop pattern (validated by scripts/fit_throughput_ab.py against the
+    # real fit loops): thread the donated state step-to-step with a fresh
+    # fold_in rng, materialize once at the end.  The state data dependency
+    # forces real execution through the lazy relay; eps-chained timing of
+    # this step reads ~2.4x slow (relay-chaining artifact, RESULTS.md).
+    for i in range(2):  # warm/compile
+        state, parts = tr._jit_train(state, dev, jax.random.fold_in(rng, i))
+    float(parts["loss_total"])
+    iters = 24
+    t0 = time.perf_counter()
+    for i in range(iters):
         state, parts = tr._jit_train(
-            state, jax.tree.map(lambda x: x + eps, batch_d), rng)
-        return parts["loss_total"] * 1e-6
-
-    sec = _timed_chain(step, (dev,), iters=8)
+            state, dev, jax.random.fold_in(rng, 100 + i))
+    float(parts["loss_total"])
+    sec = (time.perf_counter() - t0) / iters
     _DETAILS["upflow_train_vs_reference_9p8_pairs_per_sec"] = round(
         (batch / sec) / REFERENCE_TRAIN_PAIRS_PER_SEC, 3)
     return batch / sec
