@@ -96,6 +96,22 @@ REGISTRY: dict[str, DatasetSpec] = {
         generator=functools.partial(synthetic.rectangle_2d,
                                     background="pan"),
     ),
+    "rectangle2d_tex_pan8": _spec(
+        # rectangle2d_tex_pan with KITTI-magnitude camera motion
+        # (pan_vel_max=8 px/frame vs 3).  Measured motivation (round 3): at
+        # mean |pan| ~ 3 px the shift is SUB-PIXEL at every decoded pyramid
+        # level (the finest decode is 1/4 res, so 3 px -> 0.75 px), leaving
+        # the cost volume with no integer-offset signal anywhere — the long
+        # pan run's flow never became pan-coherent.  KITTI flow magnitudes
+        # are tens of px (the regime UPFlow's 5-level decode was designed
+        # for); 8 px/frame puts 2 px at the finest decoded level, inside the
+        # +/-4 search range with real off-center correlation mass.
+        name="rectangle2d_tex_pan8", ndim=2, has_flow=True,
+        train=[(0, 2205)], val=[(2370, 2685)], test=[(2685, 3000)],
+        batch_size=180,
+        generator=functools.partial(synthetic.rectangle_2d,
+                                    background="pan", pan_vel_max=8),
+    ),
     "rectangles2d": _spec(  # multi-box variant (create_rectangles_2d.py)
         name="rectangles2d", ndim=2, has_flow=True,
         train=[(0, 2205)], val=[(2370, 2685)], test=[(2685, 3000)],
