@@ -34,14 +34,16 @@ from opticalflowscivis_tpu.training.upflow_trainer import (
 )
 
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+DATASET = sys.argv[2] if len(sys.argv) > 2 else "rectangle2d_tex_pan"
+ONLY = sys.argv[3].split(",") if len(sys.argv) > 3 else None
 REPORT = max(1, STEPS // 8)
 B = 4
 
 
 def pick_batch():
     """B val pairs with distinct, large pans, padded to /64."""
-    spec = get_spec("rectangle2d_tex_pan")
-    series = load_raw_series("rectangle2d_tex_pan", "data_cache", "val")
+    spec = get_spec(DATASET)
+    series = load_raw_series(DATASET, "data_cache", "val")
     k = min(len(series), 40)
     pairs = frames_to_pairs(series[:k, ..., :1], in_channels=3)
     gt = series[: k - 1, ..., 1 : 1 + spec.ndim] * spec.gt_flow_stride
@@ -116,6 +118,8 @@ def run(name, kw):
 
 
 for name, kw in CONDS:
+    if ONLY and name not in ONLY:
+        continue
     print(f"=== {name} ===", flush=True)
     run(name, kw)
 print("DONE", flush=True)
