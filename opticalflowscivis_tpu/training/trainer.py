@@ -385,6 +385,92 @@ class Trainer:
                 break
         return history
 
+    def fit_device_gen(self, gen_fn, pos_sampler, val_positions: np.ndarray,
+                       steps_per_epoch: int, epochs: int | None = None,
+                       log_every: int = 50, resume: bool = False):
+        """Train from device-GENERATED batches: positions in, volumes stay in HBM.
+
+        The host↔device relay bounds how much data an HBM-resident dataset can
+        hold (the r3 192³ run fit 8 tuples and memorized them); here the
+        samples are synthesized on device inside the jitted step, so each
+        fresh tuple costs bytes of transfer, not tens of MB:
+
+        - ``gen_fn(pos [B, slots, nd] int32) -> [B, slots, *S, C]`` — traced
+          into the train step (e.g. ``device_synthetic.box_density_device``);
+        - ``pos_sampler(epoch) -> [steps_per_epoch * B, slots, nd]`` — host
+          ints, a fresh trajectory every epoch;
+        - ``val_positions [Nv, slots, nd]`` — fixed held-out set, generated
+          once and kept device-resident for per-epoch eval.
+
+        Per-epoch eval, loss.json, checkpointing and early stopping match
+        ``fit``.  Spatial dims must already satisfy ``cfg.pad_multiple``.
+        """
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.epochs
+        self.steps_per_epoch = steps_per_epoch
+        total_steps = max(steps_per_epoch * epochs, 1)
+        first_pos = pos_sampler(0)
+        batch = first_pos.shape[0] // steps_per_epoch
+        gen_sharded = jax.jit(
+            lambda p: jax.lax.with_sharding_constraint(
+                gen_fn(p), self.batch_sharding
+            )
+        )
+        if self.state is None:
+            self.init_state(
+                np.asarray(gen_sharded(jnp.asarray(first_pos[:batch]))),
+                total_steps,
+            )
+            if resume:
+                self.load_checkpoint()
+
+        def step_pos(state, pos):
+            b = jax.lax.with_sharding_constraint(
+                gen_fn(pos).astype(jnp.float32), self.batch_sharding
+            )
+            return self._train_step_fn(state, b)
+
+        jit_step = jax.jit(
+            step_pos,
+            in_shardings=(self.repl, self.repl),
+            out_shardings=(self.repl, self.repl),
+            donate_argnums=(0,),
+            compiler_options=dict(cfg.compiler_options or {}) or None,
+        )
+        val_dev = gen_sharded(jnp.asarray(val_positions))
+        history = []
+        best_val = np.inf
+        patience = 0
+        t0 = time.time()
+        step = 0
+        for epoch in range(epochs):
+            pos = pos_sampler(epoch) if epoch else first_pos
+            for s in range(steps_per_epoch):
+                p = jnp.asarray(pos[s * batch : (s + 1) * batch])
+                self.state, parts = jit_step(self.state, p)
+                step += 1
+                if log_every and step % log_every == 0:
+                    g = float(parts["loss_G"])
+                    rate = step / (time.time() - t0)
+                    print(f"epoch {epoch} step {step} loss_G {g:.5f} "
+                          f"({rate:.2f} it/s)", flush=True)
+            val_parts = self.evaluate(val_dev, batch)
+            history.append(val_parts)
+            self._append_loss_json(val_parts)
+            val_g = val_parts["loss_G"]
+            improved = val_g < best_val
+            if improved:
+                best_val = val_g
+                patience = 0
+            else:
+                patience += 1
+            if not cfg.keep_best_only or improved:
+                self.save_checkpoint()
+            if cfg.early_stop_patience and patience >= cfg.early_stop_patience:
+                print(f"early stopping at epoch {epoch}", flush=True)
+                break
+        return history
+
     def evaluate(self, val_tuples: np.ndarray, batch_size: int | None = None):
         n_val = val_tuples.shape[0]
         batch = min(batch_size or 16, n_val)

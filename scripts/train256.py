@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--grid", type=int, default=256)
     ap.add_argument("--out", default="Results_256")
+    ap.add_argument("--device_gen", type=int, default=0, metavar="N",
+                    help="generate N FRESH tuples per epoch ON DEVICE "
+                         "(box-mask synthesis from host int positions, "
+                         "data/device_synthetic.py) instead of an 8-tuple "
+                         "HBM-resident upload — the relay-bandwidth fix for "
+                         "'192^3 memorizes its dataset'")
     ap.add_argument("--coarse_final", action="store_true",
                     help="single-chip 256^3 mode: run the final IFBlock at "
                          "scale 2 (4,2,2) so no conv consumes a full-res "
@@ -55,20 +61,28 @@ def main():
     from opticalflowscivis_tpu.training import ModelConfig, TrainConfig, Trainer
 
     g = args.grid
-    print(f"generating {args.frames} frames of {g}^3 ...", flush=True)
-    t0 = time.time()
-    # density-only: the unsupervised 3-D recipe never reads GT flow, and at
-    # 256^3 the flow channels quadruple host prep cost and overflow the HBM
-    # dataset budget (4-ch bf16 tuples = 12.5 GB > 11 GB -> silent fallback
-    # to the ~2 MB/s streamed path)
-    arr = rectangle_3d(n_frames=args.frames, grid=(g, g, g),
-                       box=(g // 4, g // 4, g // 4), seed=11, with_flow=False)
-    tuples = group_tuples(arr, 1).astype(np.float32, copy=False)
-    del arr
-    n = tuples.shape[0]
-    n_train = max(n - 2, 1)
-    print(f"{n} tuples ({tuples.nbytes/1e9:.1f} GB host f32) "
-          f"in {time.time()-t0:.0f}s", flush=True)
+    grid, box = (g, g, g), (g // 4, g // 4, g // 4)
+    tuples = None
+    if not args.device_gen:
+        print(f"generating {args.frames} frames of {g}^3 ...", flush=True)
+        t0 = time.time()
+        # density-only: the unsupervised 3-D recipe never reads GT flow, and
+        # at 256^3 the flow channels quadruple host prep cost and overflow the
+        # HBM dataset budget (4-ch bf16 tuples = 12.5 GB > 11 GB -> silent
+        # fallback to the ~2 MB/s streamed path)
+        arr = rectangle_3d(n_frames=args.frames, grid=grid,
+                           box=box, seed=11, with_flow=False)
+        tuples = group_tuples(arr, 1).astype(np.float32, copy=False)
+        del arr
+        n = tuples.shape[0]
+        n_train = max(n - 2, 1)
+        print(f"{n} tuples ({tuples.nbytes/1e9:.1f} GB host f32) "
+              f"in {time.time()-t0:.0f}s", flush=True)
+    else:
+        n = args.device_gen
+        print(f"device-gen: {n} fresh on-device tuples/epoch at {g}^3 "
+              f"({n * 3 * g**3 * 4 / 1e9:.1f} GB/epoch that never crosses "
+              "the relay)", flush=True)
 
     cfg = TrainConfig(
         dataset="rectangle3d",
@@ -99,7 +113,25 @@ def main():
 
     report = {"grid": g, "n_tuples": int(n)}
     t0 = time.time()
-    hist = tr.fit(tuples[:n_train], tuples[n_train:], log_every=1)
+    if args.device_gen:
+        from opticalflowscivis_tpu.data.device_synthetic import (
+            box_density_device,
+            tuple_positions,
+        )
+
+        def gen(pos):
+            return box_density_device(pos, grid, box)
+
+        def pos_sampler(epoch):
+            rng = np.random.default_rng(10_000 + epoch)
+            return tuple_positions(rng, n, grid, box)
+
+        val_pos = tuple_positions(np.random.default_rng(7), 8, grid, box)
+        report["device_gen"] = True
+        hist = tr.fit_device_gen(gen, pos_sampler, val_pos,
+                                 steps_per_epoch=n, log_every=10)
+    else:
+        hist = tr.fit(tuples[:n_train], tuples[n_train:], log_every=1)
     wall = time.time() - t0
     steps = tr.steps_per_epoch * args.epochs
     report.update(
@@ -116,7 +148,16 @@ def main():
         mse = float(np.mean((a - b) ** 2))
         return float(10 * np.log10(1.0 / max(mse, 1e-12)))
 
-    val = tuples[n_train:]
+    if args.device_gen:
+        # host-stamp the val tuples from positions (oracle-identical to the
+        # device gen; avoids a 680 MB D2H pull over the relay)
+        val = np.zeros((val_pos.shape[0], 3) + grid + (1,), np.float32)
+        for i in range(val_pos.shape[0]):
+            for s in range(3):
+                sl = tuple(slice(p, p + b) for p, b in zip(val_pos[i, s], box))
+                val[(i, s) + sl + (0,)] = 1.0
+    else:
+        val = tuples[n_train:]
     preds = []
     for i in range(val.shape[0]):  # batch 1: the eval fwd must fit like train
         _, extras = tr.predict(val[i : i + 1])
