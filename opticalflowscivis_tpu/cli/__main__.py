@@ -337,6 +337,12 @@ def cmd_train_upflow(argv):
                    help="simple = scripts/simple_train.py; ex_runner = "
                         "scripts/ex_runner.py (eq/oi spatial-transform distill)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--device_gen", type=int, default=0, metavar="PAIRS",
+                   help="pan datasets: train on PAIRS device-generated pairs "
+                        "per epoch from a FRESH pan scene every epoch "
+                        "(frames composed on the TPU from int positions, "
+                        "data/device_synthetic.py) — unbounded data instead "
+                        "of the fixed 3000-frame export")
     p.add_argument("--kitti_image_dir", default=None,
                    help="KITTI multiview image dir (with --dataset kitti): "
                         "random crops + boundary-dilated warping")
@@ -427,8 +433,49 @@ def cmd_train_upflow(argv):
             val_pairs = frames_to_pairs(series_val[:k, ..., :1], in_channels=3)
             val_flow = (series_val[: k - 1, ..., 1 : 1 + spec.ndim]
                         * spec.gt_flow_stride)
-        hist = tr.fit(pairs, epochs=args.epochs, resume=args.resume,
-                      val_pairs=val_pairs, val_flow=val_flow)
+        if args.device_gen:
+            import jax.numpy as jnp
+
+            from opticalflowscivis_tpu.data.device_synthetic import (
+                pan_pair_positions,
+                pan_pairs_device,
+                pan_scene_host,
+            )
+
+            gen_kw = dict(getattr(spec.generator, "keywords", None) or {})
+            if gen_kw.get("background") != "pan":
+                raise SystemExit("--device_gen requires a pan dataset "
+                                 "(rectangle2d_tex_pan / _pan8)")
+            pan_v = int(gen_kw.get("pan_vel_max", 3))
+            grid, box = (128, 128), (60, 80)
+            n_pairs = args.device_gen
+            batch = args.batch_size or 8
+            spe = max(n_pairs // batch, 1)
+
+            def pos_sampler(epoch):
+                rng = np.random.default_rng(50_000 + epoch)
+                tex, big, bt, ct = pan_scene_host(
+                    rng, spe * batch + 1, grid, box, pan_vel_max=pan_v
+                )
+                bp, cp = pan_pair_positions(bt, ct, np.arange(spe * batch))
+                return ({"tex": jnp.asarray(tex), "big": jnp.asarray(big)},
+                        {"box": bp, "cam": cp})
+
+            def gen_fn(const, pos):
+                return pan_pairs_device(
+                    const["tex"], const["big"], pos["box"], pos["cam"],
+                    grid, in_channels=3,
+                )
+
+            print(f"device-gen: {spe * batch} fresh pan pairs/epoch "
+                  f"(pan_vel_max={pan_v}); val = registry split", flush=True)
+            hist = tr.fit_device_gen(
+                gen_fn, pos_sampler, spe, epochs=args.epochs,
+                resume=args.resume, val_pairs=val_pairs, val_flow=val_flow,
+            )
+        else:
+            hist = tr.fit(pairs, epochs=args.epochs, resume=args.resume,
+                          val_pairs=val_pairs, val_flow=val_flow)
     print(json.dumps({"final": hist[-1] if hist else None}), flush=True)
 
 

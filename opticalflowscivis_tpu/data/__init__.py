@@ -16,6 +16,12 @@ from opticalflowscivis_tpu.data.registry import (
     load_raw_series,
     select_split,
 )
+from opticalflowscivis_tpu.data.device_synthetic import (
+    box_density_device,
+    pan_pairs_device,
+    pan_scene_host,
+    tuple_positions,
+)
 from opticalflowscivis_tpu.data.synthetic import rectangle_2d, rectangle_3d, rectangles_2d
 
 __all__ = [
@@ -24,4 +30,6 @@ __all__ = [
     "REGISTRY", "DatasetSpec", "get_spec", "load_data", "load_raw_series",
     "select_split",
     "rectangle_2d", "rectangle_3d", "rectangles_2d",
+    "box_density_device", "pan_pairs_device", "pan_scene_host",
+    "tuple_positions",
 ]

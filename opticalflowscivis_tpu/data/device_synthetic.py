@@ -21,7 +21,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from opticalflowscivis_tpu.data.synthetic import _box_trajectory
+from opticalflowscivis_tpu.data.synthetic import (
+    _box_trajectory,
+    _hf_texture,
+    _multi_octave_field,
+)
 
 
 def box_density_device(
@@ -63,3 +67,85 @@ def tuple_positions(
     return np.stack([traj[k], traj[k + 2], traj[k + 1]], axis=1).astype(
         np.int32
     )
+
+
+# -- 2-D pan scenes (⇔ synthetic.rectangle_2d(background="pan")) -------------
+
+PAN_PAD = 48  # big-field margin around the camera window (rectangle_2d:164)
+
+
+def pan_scene_host(
+    rng: np.random.Generator,
+    n_frames: int,
+    grid: tuple[int, int],
+    box: tuple[int, int],
+    vel_max: int = 6,
+    max_seq: int = 15,
+    pan_vel_max: int = 3,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Host precompute for a pan scene: ``(tex, big, box_traj, cam_traj)``.
+
+    Consumes the rng in exactly ``rectangle_2d(background="pan")``'s order
+    (texture → box trajectory → big field → camera trajectory), so for the
+    same seed the device composition reproduces that generator bit-for-bit.
+    The arrays that cross to the device are the small constants (a box-sized
+    texture + one padded background, ~100 KB) — per-step traffic is positions
+    only, so a fresh scene/trajectory per epoch is essentially free.
+    """
+    tex = _hf_texture(rng, box)
+    box_traj = _box_trajectory(rng, n_frames, grid, box, vel_max, max_seq)
+    big = _multi_octave_field(
+        rng, (grid[0] + 2 * PAN_PAD, grid[1] + 2 * PAN_PAD)
+    )
+    cam_traj = _box_trajectory(
+        rng, n_frames, tuple(g + 2 * PAN_PAD for g in grid), grid,
+        pan_vel_max, max_seq,
+    )
+    return tex, big, box_traj.astype(np.int32), cam_traj.astype(np.int32)
+
+
+def pan_pairs_device(
+    tex: jax.Array,
+    big: jax.Array,
+    box_pos: jax.Array,
+    cam_pos: jax.Array,
+    grid: tuple[int, int],
+    in_channels: int = 1,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Compose pan-scene frame pairs on device from integer positions.
+
+    ``tex [*box]`` and ``big [H+2p, W+2p]`` are device-resident constants;
+    ``box_pos/cam_pos [B, 2, 2] int32`` hold (frame t, frame t+1) corners.
+    Returns ``(im1, im2) [B, H, W, in_channels]`` and the GT apparent flow of
+    frame t ``[B, H, W, 2]`` (box pixels carry the box step, background pixels
+    ``-(camera step)`` — rectangle_2d:171-181).
+    """
+
+    def frame(b, c):
+        canvas = jax.lax.dynamic_update_slice(
+            jnp.zeros(grid, tex.dtype), tex, (b[0], b[1])
+        )
+        window = jax.lax.dynamic_slice(big, (c[0], c[1]), grid)
+        covered = canvas > 0  # texture values are >= 30/255
+        return jnp.where(covered, canvas, window), covered
+
+    def one(bp, cp):
+        f1, cov1 = frame(bp[0], cp[0])
+        f2, _ = frame(bp[1], cp[1])
+        flow = jnp.where(
+            cov1[..., None],
+            (bp[1] - bp[0]).astype(jnp.float32),
+            -(cp[1] - cp[0]).astype(jnp.float32),
+        )
+        rep = lambda f: jnp.repeat(f[..., None], in_channels, axis=-1)
+        return rep(f1), rep(f2), flow
+
+    return jax.vmap(one)(box_pos, cam_pos)
+
+
+def pan_pair_positions(
+    box_traj: np.ndarray, cam_traj: np.ndarray, idx: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pair-slot positions ``([N,2,2], [N,2,2])`` for frame indices ``idx``."""
+    take = lambda tr: np.stack([tr[idx], tr[idx + 1]], axis=1)
+    return take(box_traj), take(cam_traj)

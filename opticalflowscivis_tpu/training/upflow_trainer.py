@@ -249,33 +249,9 @@ class UPFlowTrainer:
         # overhead; this also lifts the 33-pair cap, VERDICT r2 'weak').
         val_dev = gt_dev = None
         if val_pairs is not None and val_flow is not None:
-            vp, _ = pad_to_multiple(val_pairs, cfg.pad_multiple, leading_axes=2)
-            k = (vp.shape[0] // n_data) * n_data
-            if k == 0:
-                reps = -(-n_data // vp.shape[0])
-                vp = np.tile(vp, (reps,) + (1,) * (vp.ndim - 1))
-                val_flow = np.tile(val_flow, (reps,) + (1,) * (val_flow.ndim - 1))
-                k = n_data
-            val_dev = jax.device_put(
-                {"im1": jnp.asarray(vp[:k, 0]), "im2": jnp.asarray(vp[:k, 1])},
-                self.batch_sharding,
+            jit_val, val_dev, gt_dev, val_zero = self._device_val(
+                val_pairs, val_flow
             )
-            gt_dev = jax.device_put(jnp.asarray(val_flow[:k]), self.batch_sharding)
-            gt_sl = tuple(slice(0, s) for s in val_flow.shape[1:-1])
-
-            def val_epe_step(state, batch, gt):
-                out = self.net.apply(state.params, batch["im1"], batch["im2"])
-                flow = out["flow_f"][(slice(None),) + gt_sl]
-                return jnp.mean(
-                    jnp.linalg.norm(flow.astype(jnp.float32) - gt, axis=-1)
-                )
-
-            jit_val = jax.jit(
-                val_epe_step,
-                in_shardings=(self.repl, self.batch_sharding, self.batch_sharding),
-                out_shardings=self.repl,
-            )
-            val_zero = float(np.linalg.norm(val_flow[:k], axis=-1).mean())
         history = []
         t0 = time.time()
         step = 0
@@ -300,6 +276,147 @@ class UPFlowTrainer:
                                        self.batch_sharding),
                         rng,
                     )
+                step += 1
+                meter_dev = parts if meter_dev is None else jax.tree.map(
+                    jnp.add, meter_dev, parts
+                )
+                n += 1
+                if log_every and step % log_every == 0:
+                    print(
+                        f"epoch {epoch} step {step} loss "
+                        f"{float(meter_dev['loss_total'])/n:.5f} "
+                        f"({step/(time.time()-t0):.2f} it/s)",
+                        flush=True,
+                    )
+            epoch_means = {
+                k: float(v) / max(n, 1) for k, v in (meter_dev or {}).items()
+            }
+            if val_dev is not None:
+                epoch_means["val_epe"] = float(jit_val(self.state, val_dev, gt_dev))
+                epoch_means["val_epe_zero_flow"] = val_zero
+                print(
+                    f"epoch {epoch} val_epe {epoch_means['val_epe']:.4f} "
+                    f"(zero-flow {epoch_means['val_epe_zero_flow']:.4f})",
+                    flush=True,
+                )
+            history.append(epoch_means)
+            self._append_loss_json(epoch_means)
+            self.save_checkpoint()
+        return history
+
+    def _device_val(self, val_pairs: np.ndarray, val_flow: np.ndarray):
+        """Device-resident per-epoch EPE: pairs + GT upload ONCE, only a scalar
+        crosses the relay per epoch.  Returns (jit_val, val_dev, gt_dev,
+        val_epe_zero_flow)."""
+        cfg = self.cfg
+        n_data = self.mesh.shape["data"]
+        vp, _ = pad_to_multiple(val_pairs, cfg.pad_multiple, leading_axes=2)
+        k = (vp.shape[0] // n_data) * n_data
+        if k == 0:
+            reps = -(-n_data // vp.shape[0])
+            vp = np.tile(vp, (reps,) + (1,) * (vp.ndim - 1))
+            val_flow = np.tile(val_flow, (reps,) + (1,) * (val_flow.ndim - 1))
+            k = n_data
+        val_dev = jax.device_put(
+            {"im1": jnp.asarray(vp[:k, 0]), "im2": jnp.asarray(vp[:k, 1])},
+            self.batch_sharding,
+        )
+        gt_dev = jax.device_put(jnp.asarray(val_flow[:k]), self.batch_sharding)
+        gt_sl = tuple(slice(0, s) for s in val_flow.shape[1:-1])
+
+        def val_epe_step(state, batch, gt):
+            out = self.net.apply(state.params, batch["im1"], batch["im2"])
+            flow = out["flow_f"][(slice(None),) + gt_sl]
+            return jnp.mean(
+                jnp.linalg.norm(flow.astype(jnp.float32) - gt, axis=-1)
+            )
+
+        jit_val = jax.jit(
+            val_epe_step,
+            in_shardings=(self.repl, self.batch_sharding, self.batch_sharding),
+            out_shardings=self.repl,
+        )
+        val_zero = float(np.linalg.norm(val_flow[:k], axis=-1).mean())
+        return jit_val, val_dev, gt_dev, val_zero
+
+    def fit_device_gen(self, gen_fn, pos_sampler, steps_per_epoch: int,
+                       epochs: int | None = None, log_every: int = 20,
+                       resume: bool = False,
+                       val_pairs: np.ndarray | None = None,
+                       val_flow: np.ndarray | None = None):
+        """Train from device-GENERATED pairs — unlimited distinct samples.
+
+        The HBM path caps training data at one fixed relay-uploadable array;
+        here frames are composed on device inside the jitted step (e.g.
+        ``device_synthetic.pan_pairs_device``), so every epoch can be a fresh
+        scene at a per-step upload cost of a few hundred bytes of int32
+        positions:
+
+        - ``gen_fn(const, pos) -> (im1, im2, gt_flow)`` traced into the train
+          step (gt_flow is unused for training — unsupervised — but lets
+          callers reuse the same generator for val);
+        - ``pos_sampler(epoch) -> (const, pos)``: ``const`` is a pytree of
+          per-EPOCH scene constants (textures/backgrounds, uploaded once per
+          epoch — they must be jit arguments, not closure captures, or the
+          first epoch's scene would be baked into the compiled step);
+          ``pos`` is a pytree whose leaves lead with
+          ``steps_per_epoch * batch`` and are sliced per step;
+        - ``val_pairs/val_flow``: fixed held-out arrays for the per-epoch
+          ``val_epe`` trajectory (same contract as ``fit``).
+        """
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.n_epoch
+        first = pos_sampler(0)
+        n_pos = jax.tree.leaves(first[1])[0].shape[0]
+        batch = n_pos // steps_per_epoch
+
+        def take(pos, s):
+            return jax.tree.map(
+                lambda a: jnp.asarray(a[s * batch : (s + 1) * batch]), pos
+            )
+
+        if self.state is None:
+            im1, im2, _ = jax.jit(gen_fn)(first[0], take(first[1], 0))
+            self.init_state(
+                np.stack([np.asarray(im1[:1]), np.asarray(im2[:1])], axis=1),
+                steps_per_epoch=steps_per_epoch,
+            )
+            if resume:
+                self.load_checkpoint()
+
+        def step_gen(state, const, pos, rng):
+            im1, im2, _ = gen_fn(const, pos)
+            batch_d = jax.lax.with_sharding_constraint(
+                {"im1": im1.astype(jnp.float32), "im2": im2.astype(jnp.float32)},
+                self.batch_sharding,
+            )
+            return self._train_step(state, batch_d, rng)
+
+        jit_step = jax.jit(
+            step_gen,
+            in_shardings=(self.repl, self.repl, self.repl, self.repl),
+            out_shardings=(self.repl, self.repl),
+            donate_argnums=(0,),
+        )
+        jit_val = val_dev = gt_dev = None
+        if val_pairs is not None and val_flow is not None:
+            jit_val, val_dev, gt_dev, val_zero = self._device_val(
+                val_pairs, val_flow
+            )
+        history = []
+        t0 = time.time()
+        step = 0
+        root_key = jax.random.PRNGKey(cfg.seed + 1)
+        for epoch in range(epochs):
+            const, pos = pos_sampler(epoch) if epoch else first
+            const = jax.device_put(const, self.repl)
+            meter_dev = None
+            n = 0
+            for s in range(steps_per_epoch):
+                rng = jax.random.fold_in(root_key, step)
+                self.state, parts = jit_step(
+                    self.state, const, take(pos, s), rng
+                )
                 step += 1
                 meter_dev = parts if meter_dev is None else jax.tree.map(
                     jnp.add, meter_dev, parts

@@ -11,6 +11,9 @@ import jax.numpy as jnp
 
 from opticalflowscivis_tpu.data.device_synthetic import (
     box_density_device,
+    pan_pair_positions,
+    pan_pairs_device,
+    pan_scene_host,
     tuple_positions,
 )
 from opticalflowscivis_tpu.data.pipeline import group_tuples
@@ -40,6 +43,76 @@ def test_tuple_positions_match_group_tuples_order():
     dev = box_density_device(jnp.asarray(pos), GRID, BOX)
     assert pos.dtype == np.int32 and pos.shape == (n, 3, 3)
     np.testing.assert_array_equal(np.asarray(dev), host_tuples)
+
+
+def test_pan_pairs_match_rectangle_2d_pan():
+    """Device pan composition == rectangle_2d(background='pan') bit-for-bit
+    (frames AND the stamped apparent flow) from the same rng stream."""
+    from opticalflowscivis_tpu.data.synthetic import rectangle_2d
+
+    n, grid, box = 7, (64, 64), (20, 24)
+    arr = rectangle_2d(n_frames=n, grid=grid, box=box, seed=9,
+                       background="pan", pan_vel_max=3)
+    tex, big, bt, ct = pan_scene_host(
+        np.random.default_rng(9), n, grid, box, pan_vel_max=3
+    )
+    bp, cp = pan_pair_positions(bt, ct, np.arange(n - 1))
+    im1, im2, flow = pan_pairs_device(
+        jnp.asarray(tex), jnp.asarray(big), jnp.asarray(bp),
+        jnp.asarray(cp), grid,
+    )
+    np.testing.assert_array_equal(np.asarray(im1)[..., 0], arr[:-1, ..., 0])
+    np.testing.assert_array_equal(np.asarray(im2)[..., 0], arr[1:, ..., 0])
+    np.testing.assert_array_equal(np.asarray(flow), arr[:-1, ..., 1:])
+
+
+def test_upflow_fit_device_gen_fresh_scene_per_epoch(tmp_path):
+    from opticalflowscivis_tpu.losses import UPFlowLossConfig
+    from opticalflowscivis_tpu.training.upflow_trainer import (
+        UPFlowTrainConfig,
+        UPFlowTrainer,
+    )
+    from tests.test_upflow import TINY
+
+    grid, box = (64, 64), (20, 24)
+    cfg = UPFlowTrainConfig(
+        batch_size=8, bfloat16=False, exp_dir=str(tmp_path), model=TINY,
+        pad_multiple=64, loss=UPFlowLossConfig(smooth_order_1_weight=0.1),
+    )
+    tr = UPFlowTrainer(cfg)
+    seen = []
+
+    def pos_sampler(epoch):
+        tex, big, bt, ct = pan_scene_host(
+            np.random.default_rng(100 + epoch), 9, grid, box, pan_vel_max=3
+        )
+        seen.append(bt)
+        bp, cp = pan_pair_positions(bt, ct, np.arange(8))
+        return ({"tex": jnp.asarray(tex), "big": jnp.asarray(big)},
+                {"box": bp, "cam": cp})
+
+    def gen_fn(const, pos):
+        return pan_pairs_device(
+            const["tex"], const["big"], pos["box"], pos["cam"], grid,
+            in_channels=3,
+        )
+
+    # held-out val with GT flow from the host generator
+    from opticalflowscivis_tpu.data.synthetic import rectangle_2d
+    from opticalflowscivis_tpu.training.upflow_trainer import frames_to_pairs
+
+    v = rectangle_2d(n_frames=9, grid=grid, box=box, seed=7,
+                     background="pan", pan_vel_max=3)
+    val_pairs = frames_to_pairs(v[..., :1], in_channels=3)
+    val_flow = v[:-1, ..., 1:]
+    hist = tr.fit_device_gen(
+        gen_fn, pos_sampler, steps_per_epoch=1, epochs=2, log_every=0,
+        val_pairs=val_pairs, val_flow=val_flow,
+    )
+    assert len(hist) == 2
+    assert np.isfinite(hist[-1]["loss_total"])
+    assert "val_epe" in hist[-1] and np.isfinite(hist[-1]["val_epe"])
+    assert len(seen) == 2 and not np.array_equal(seen[0], seen[1])
 
 
 def test_fit_device_gen_trains_on_fresh_tuples(tmp_path):
