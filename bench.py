@@ -264,13 +264,17 @@ def main():
         except Exception as e:  # noqa: BLE001 — record, never forfeit the bench
             details[name] = f"error: {e}"
 
+    # 256^3 inference FIRST: it is the sub-bench closest to BASELINE.json's
+    # 256^3 north-star and was starved by ordering in r03 ("skipped: 44s
+    # budget left") — running it while the full budget remains protects it
+    # (VERDICT r3 item 4).  Hours on CPU, so TPU-only.
+    if jax.default_backend() != "cpu":
+        run("rife3d_inference_256cube_vols_per_sec",
+            lambda: bench_rife3d_inference(256, batch=1), 180)
     run("rife3d_inference_64cube_vols_per_sec",
         lambda: bench_rife3d_inference(64), 90)
     run("rife2d_train_128x128_pairs_per_sec", bench_train_step, 120)
     run("upflow_train_256x832_b8_pairs_per_sec", bench_upflow_train, 150)
-    if jax.default_backend() != "cpu":  # 256^3 headline (hours on CPU)
-        run("rife3d_inference_256cube_vols_per_sec",
-            lambda: bench_rife3d_inference(256, batch=1), 180)
 
     _write_details()
     print(json.dumps({"details": details}), file=sys.stderr)

@@ -457,7 +457,13 @@ def cmd_train_upflow(argv):
                 tex, big, bt, ct = pan_scene_host(
                     rng, spe * batch + 1, grid, box, pan_vel_max=pan_v
                 )
-                bp, cp = pan_pair_positions(bt, ct, np.arange(spe * batch))
+                # permuted pair order: velocities persist up to max_seq
+                # frames, so trajectory-ordered batches share one pan
+                # velocity — shuffling restores per-batch motion diversity
+                # (ADVICE r3)
+                bp, cp = pan_pair_positions(
+                    bt, ct, rng.permutation(spe * batch)
+                )
                 return ({"tex": jnp.asarray(tex), "big": jnp.asarray(big)},
                         {"box": bp, "cam": cp})
 

@@ -21,7 +21,10 @@ def warmup_cosine(
         step = jnp.asarray(step, jnp.float32)
         warm = lr_max * step / max(warmup_steps, 1)
         denom = max(total_steps - warmup_steps, 1)
-        mul = jnp.cos((step - warmup_steps) / denom * jnp.pi) * 0.5 + 0.5
+        # clamp past the horizon: a resumed run whose restored step exceeds
+        # total_steps must hold lr_min, not ride the cosine back up
+        frac = jnp.clip((step - warmup_steps) / denom, 0.0, 1.0)
+        mul = jnp.cos(frac * jnp.pi) * 0.5 + 0.5
         decay = (lr_max - lr_min) * mul + lr_min
         return jnp.where(step < warmup_steps, warm, decay) * world_scale
 

@@ -409,18 +409,41 @@ class Trainer:
         epochs = epochs if epochs is not None else cfg.epochs
         self.steps_per_epoch = steps_per_epoch
         total_steps = max(steps_per_epoch * epochs, 1)
-        first_pos = pos_sampler(0)
-        batch = first_pos.shape[0] // steps_per_epoch
+        # Resume offset: a resumed run must NOT replay pos_sampler(0..k) seeds
+        # (it would re-train on the exact scenes already seen) nor restart the
+        # step counter; completed epochs are recovered from loss.json, which
+        # fit appends once per epoch (ADVICE r3, medium).
+        start_epoch = self._completed_epochs() if resume else 0
+        first_pos = pos_sampler(start_epoch)
+        n_pos = jax.tree.leaves(first_pos)[0].shape[0]
+        if n_pos % steps_per_epoch:
+            raise ValueError(
+                f"{n_pos} positions do not divide into {steps_per_epoch} steps"
+            )
+        batch = n_pos // steps_per_epoch
+        n_data = self.mesh.shape["data"]
+        if batch % n_data:
+            raise ValueError(
+                f"device-gen batch {batch} must be a multiple of the data "
+                f"mesh axis ({n_data} devices)"
+            )
         gen_sharded = jax.jit(
             lambda p: jax.lax.with_sharding_constraint(
                 gen_fn(p), self.batch_sharding
             )
         )
         if self.state is None:
-            self.init_state(
-                np.asarray(gen_sharded(jnp.asarray(first_pos[:batch]))),
-                total_steps,
-            )
+            # shape/dtype only — materializing a generated batch via
+            # np.asarray would pull ~85 MB (192^3) D2H over the ~2 MB/s relay
+            # for values init never reads (ADVICE r3)
+            out = jax.eval_shape(gen_fn, jnp.asarray(first_pos[:batch]))
+            for d in out.shape[2:-1]:
+                if d % cfg.pad_multiple:
+                    raise ValueError(
+                        f"generated spatial dim {d} violates "
+                        f"pad_multiple={cfg.pad_multiple}"
+                    )
+            self.init_state(np.zeros(out.shape, np.float32), total_steps)
             if resume:
                 self.load_checkpoint()
 
@@ -442,16 +465,16 @@ class Trainer:
         best_val = np.inf
         patience = 0
         t0 = time.time()
-        step = 0
-        for epoch in range(epochs):
-            pos = pos_sampler(epoch) if epoch else first_pos
+        step = start_epoch * steps_per_epoch
+        for epoch in range(start_epoch, start_epoch + epochs):
+            pos = first_pos if epoch == start_epoch else pos_sampler(epoch)
             for s in range(steps_per_epoch):
                 p = jnp.asarray(pos[s * batch : (s + 1) * batch])
                 self.state, parts = jit_step(self.state, p)
                 step += 1
                 if log_every and step % log_every == 0:
                     g = float(parts["loss_G"])
-                    rate = step / (time.time() - t0)
+                    rate = (step - start_epoch * steps_per_epoch) / (time.time() - t0)
                     print(f"epoch {epoch} step {step} loss_G {g:.5f} "
                           f"({rate:.2f} it/s)", flush=True)
             val_parts = self.evaluate(val_dev, batch)
@@ -509,6 +532,15 @@ class Trainer:
         cfg = self.cfg
         factor = 2**cfg.exp
         return os.path.join(cfg.results_dir, cfg.dataset, f"{factor}x", cfg.model_name)
+
+    def _completed_epochs(self) -> int:
+        """Epochs already recorded in this run's loss.json (one append per
+        epoch) — the resume offset for seeds/steps in ``fit_device_gen``."""
+        path = os.path.join(self.results_dir, "loss.json")
+        if not os.path.exists(path):
+            return 0
+        with open(path) as f:
+            return len(json.load(f).get("val_loss", []))
 
     def _append_loss_json(self, parts: dict[str, float]):
         """loss.json parity: append the 7-tuple (train.py:516-544)."""

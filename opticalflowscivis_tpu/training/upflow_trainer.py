@@ -366,9 +366,23 @@ class UPFlowTrainer:
         """
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.n_epoch
-        first = pos_sampler(0)
+        # Resume offset: replaying pos_sampler(0..k) seeds would re-train on
+        # the exact scenes already seen before reaching fresh data, and the
+        # fold_in(root_key, step) rng would replay from 0 (ADVICE r3, medium).
+        start_epoch = self._completed_epochs() if resume else 0
+        first = pos_sampler(start_epoch)
         n_pos = jax.tree.leaves(first[1])[0].shape[0]
+        if n_pos % steps_per_epoch:
+            raise ValueError(
+                f"{n_pos} positions do not divide into {steps_per_epoch} steps"
+            )
         batch = n_pos // steps_per_epoch
+        n_data = self.mesh.shape["data"]
+        if batch % n_data:
+            raise ValueError(
+                f"device-gen batch {batch} must be a multiple of the data "
+                f"mesh axis ({n_data} devices)"
+            )
 
         def take(pos, s):
             return jax.tree.map(
@@ -376,9 +390,17 @@ class UPFlowTrainer:
             )
 
         if self.state is None:
-            im1, im2, _ = jax.jit(gen_fn)(first[0], take(first[1], 0))
+            # shape/dtype only (jax.eval_shape): init never reads the values,
+            # so don't generate-and-download a real batch (ADVICE r3)
+            s1, _, _ = jax.eval_shape(gen_fn, first[0], take(first[1], 0))
+            for d in s1.shape[1:-1]:
+                if d % cfg.pad_multiple:
+                    raise ValueError(
+                        f"generated spatial dim {d} violates "
+                        f"pad_multiple={cfg.pad_multiple}"
+                    )
             self.init_state(
-                np.stack([np.asarray(im1[:1]), np.asarray(im2[:1])], axis=1),
+                np.zeros((1, 2) + s1.shape[1:], np.float32),
                 steps_per_epoch=steps_per_epoch,
             )
             if resume:
@@ -405,10 +427,10 @@ class UPFlowTrainer:
             )
         history = []
         t0 = time.time()
-        step = 0
+        step = start_epoch * steps_per_epoch
         root_key = jax.random.PRNGKey(cfg.seed + 1)
-        for epoch in range(epochs):
-            const, pos = pos_sampler(epoch) if epoch else first
+        for epoch in range(start_epoch, start_epoch + epochs):
+            const, pos = first if epoch == start_epoch else pos_sampler(epoch)
             const = jax.device_put(const, self.repl)
             meter_dev = None
             n = 0
@@ -423,10 +445,11 @@ class UPFlowTrainer:
                 )
                 n += 1
                 if log_every and step % log_every == 0:
+                    done = step - start_epoch * steps_per_epoch
                     print(
                         f"epoch {epoch} step {step} loss "
                         f"{float(meter_dev['loss_total'])/n:.5f} "
-                        f"({step/(time.time()-t0):.2f} it/s)",
+                        f"({done/(time.time()-t0):.2f} it/s)",
                         flush=True,
                     )
             epoch_means = {
@@ -444,6 +467,15 @@ class UPFlowTrainer:
             self._append_loss_json(epoch_means)
             self.save_checkpoint()
         return history
+
+    def _completed_epochs(self) -> int:
+        """Epochs already appended to this run's loss.json — the resume
+        offset for device-gen seeds and the step rng."""
+        path = os.path.join(self.cfg.exp_dir, "loss.json")
+        if not os.path.exists(path):
+            return 0
+        with open(path) as f:
+            return len(json.load(f).get("loss", []))
 
     def val_epe(self, val_pairs: np.ndarray, val_flow: np.ndarray) -> float:
         """Mean EPE of the forward flow vs GT displacement on val pairs."""

@@ -70,7 +70,13 @@ def main():
     g = args.grid
     grid, box = (g, g, g), (g // 4, g // 4, g // 4)
     tuples = None
-    if not args.device_gen:
+    if args.eval_only and not args.device_gen:
+        # eval_only never reads host tuples (the quality row is re-stamped
+        # from seed-7 positions below) — generating --frames at grid^3 here
+        # costs minutes-to-hours for an unused array (ADVICE r3)
+        n = 0
+        print("eval_only: skipping host data generation", flush=True)
+    elif not args.device_gen:
         print(f"generating {args.frames} frames of {g}^3 ...", flush=True)
         t0 = time.time()
         # density-only: the unsupervised 3-D recipe never reads GT flow, and
@@ -145,7 +151,10 @@ def main():
 
         def pos_sampler(epoch):
             rng = np.random.default_rng(10_000 + epoch)
-            return tuple_positions(rng, n, grid, box)
+            pos = tuple_positions(rng, n, grid, box)
+            # shuffle: trajectory order holds one velocity for up to
+            # max_seq frames, starving per-batch motion diversity (ADVICE r3)
+            return pos[rng.permutation(n)]
 
         val_pos = tuple_positions(np.random.default_rng(7), 8, grid, box)
         report["device_gen"] = True
@@ -174,13 +183,18 @@ def main():
 
     if args.device_gen or args.eval_only:
         # host-stamp the val tuples from positions (oracle-identical to the
-        # device gen; avoids a 680 MB D2H pull over the relay)
+        # device gen; avoids a 680 MB D2H pull over the relay).  NOTE for
+        # eval_only of a non-device-gen run: this seed-7 val differs from the
+        # tuples[n_train:] split its loss.json used — record which set the
+        # PSNR row came from (ADVICE r3).
+        report["val_set"] = "seed7_positions"
         val = np.zeros((val_pos.shape[0], 3) + grid + (1,), np.float32)
         for i in range(val_pos.shape[0]):
             for s in range(3):
                 sl = tuple(slice(p, p + b) for p, b in zip(val_pos[i, s], box))
                 val[(i, s) + sl + (0,)] = 1.0
     else:
+        report["val_set"] = "tuples_tail"
         val = tuples[n_train:]
     preds = []
     for i in range(val.shape[0]):  # batch 1: the eval fwd must fit like train

@@ -156,3 +156,75 @@ def test_fit_device_gen_trains_on_fresh_tuples(tmp_path):
     import os
 
     assert os.path.exists(os.path.join(tr.results_dir, "loss.json"))
+
+    # resume must NOT replay epoch 0/1 seeds (ADVICE r3 medium): a resumed
+    # run picks up at the epoch count recorded in loss.json, so pos_sampler
+    # sees fresh epoch numbers and the data stays never-repeated
+    tr2 = Trainer(cfg)
+    epochs_seen = []
+
+    def pos_sampler2(epoch):
+        epochs_seen.append(epoch)
+        return tuple_positions(
+            np.random.default_rng(100 + epoch), 8, grid, box, vel_max=3
+        )
+
+    hist2 = tr2.fit_device_gen(
+        lambda p: box_density_device(p, grid, box),
+        pos_sampler2,
+        val_pos,
+        steps_per_epoch=1,
+        epochs=1,
+        log_every=0,
+        resume=True,
+    )
+    assert epochs_seen == [2]
+    assert len(hist2) == 1
+
+
+def test_upflow_fit_device_gen_resume_offsets_epoch_seed(tmp_path):
+    """ADVICE r3 (medium): --resume must continue the epoch seed sequence,
+    not re-train on the scenes already recorded in loss.json."""
+    from opticalflowscivis_tpu.losses import UPFlowLossConfig
+    from opticalflowscivis_tpu.training.upflow_trainer import (
+        UPFlowTrainConfig,
+        UPFlowTrainer,
+    )
+    from tests.test_upflow import TINY
+
+    grid, box = (64, 64), (20, 24)
+    cfg = UPFlowTrainConfig(
+        batch_size=8, bfloat16=False, exp_dir=str(tmp_path), model=TINY,
+        pad_multiple=64, loss=UPFlowLossConfig(smooth_order_1_weight=0.1),
+    )
+
+    def make_sampler(record):
+        def pos_sampler(epoch):
+            record.append(epoch)
+            tex, big, bt, ct = pan_scene_host(
+                np.random.default_rng(100 + epoch), 9, grid, box, pan_vel_max=3
+            )
+            bp, cp = pan_pair_positions(bt, ct, np.arange(8))
+            return ({"tex": jnp.asarray(tex), "big": jnp.asarray(big)},
+                    {"box": bp, "cam": cp})
+        return pos_sampler
+
+    def gen_fn(const, pos):
+        return pan_pairs_device(
+            const["tex"], const["big"], pos["box"], pos["cam"], grid,
+            in_channels=3,
+        )
+
+    first_epochs: list[int] = []
+    tr = UPFlowTrainer(cfg)
+    tr.fit_device_gen(gen_fn, make_sampler(first_epochs),
+                      steps_per_epoch=1, epochs=2, log_every=0)
+    assert first_epochs == [0, 1]
+
+    resumed_epochs: list[int] = []
+    tr2 = UPFlowTrainer(cfg)
+    hist = tr2.fit_device_gen(gen_fn, make_sampler(resumed_epochs),
+                              steps_per_epoch=1, epochs=1, log_every=0,
+                              resume=True)
+    assert resumed_epochs == [2]
+    assert len(hist) == 1
