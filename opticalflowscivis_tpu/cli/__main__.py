@@ -333,6 +333,10 @@ def cmd_train_upflow(argv):
     p.add_argument("--lr", type=float, default=None,
                    help="Adam lr (default: recipe's own — 1e-4 for simple, "
                         "simple_train.py:146; 1e-2 for ex_runner, ex_runner.py:26)")
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="global-norm gradient clip (0 = off; required for "
+                        "lr >= 1e-3 — unclipped, pan8 flow explodes to "
+                        "~250 px within one epoch)")
     p.add_argument("--recipe", default="simple", choices=["simple", "ex_runner"],
                    help="simple = scripts/simple_train.py; ex_runner = "
                         "scripts/ex_runner.py (eq/oi spatial-transform distill)")
@@ -369,6 +373,7 @@ def cmd_train_upflow(argv):
     kw = dict(
         batch_size=args.batch_size,
         n_epoch=args.epochs,
+        grad_clip=args.grad_clip,
         exp_dir=os.path.join(args.results_dir, args.dataset, "upflow"),
         loss=UPFlowLossConfig(census_weight=args.census_weight,
                               msd_weight=args.msd_weight,

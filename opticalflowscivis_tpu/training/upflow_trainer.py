@@ -42,6 +42,11 @@ class UPFlowTrainConfig:
     lr: float = 1e-4
     weight_decay: float = 1e-4
     lr_gamma: float = 1.0  # per-epoch exponential decay (simple_train.py:190 γ=1)
+    grad_clip: float = 0.0  # global-norm clip (0 = off, the reference's
+    #   behavior).  Measured round 4: lr 1e-3 with census=1/smooth=0.1
+    #   explodes the flow to ~250 px within one epoch on pan8
+    #   (Results/pan_long_lr1e3_abort) — clipping is the knob that makes
+    #   hot-lr recipes usable at all.
     seed: int = 0
     exp_dir: str = "./demo_exp"
     bfloat16: bool = True
@@ -191,6 +196,8 @@ class UPFlowTrainer:
                 decay_rate=cfg.lr_gamma, staircase=True,
             )
         tx = optax.adamw(lr, weight_decay=cfg.weight_decay)
+        if cfg.grad_clip:
+            tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
         state = train_state.TrainState.create(
             apply_fn=self.net.apply, params=params, tx=tx
         )
@@ -406,16 +413,31 @@ class UPFlowTrainer:
             if resume:
                 self.load_checkpoint()
 
-        def step_gen(state, const, pos, rng):
-            im1, im2, _ = gen_fn(const, pos)
-            batch_d = jax.lax.with_sharding_constraint(
-                {"im1": im1.astype(jnp.float32), "im2": im2.astype(jnp.float32)},
-                self.batch_sharding,
-            )
-            return self._train_step(state, batch_d, rng)
+        # One jitted lax.scan per EPOCH, not one dispatch per step: measured
+        # on the axon relay, per-step host work (position upload + fold_in +
+        # step dispatch) costs ~0.8 s/step against ~0.2 s of device compute
+        # (~1 it/s wall for a step the profiler times at 5/s).  Scanning the
+        # whole epoch on device — positions uploaded once as [spe, batch,
+        # ...], rng folded in-scan from the step index — leaves ONE dispatch
+        # per epoch, so wall time ~= device time regardless of relay latency.
+        def epoch_fn(state, const, pos_all, step0):
+            def body(carry, xs):
+                pos_s, idx = xs
+                rng = jax.random.fold_in(root_key_dev, idx)
+                im1, im2, _ = gen_fn(const, pos_s)
+                batch_d = jax.lax.with_sharding_constraint(
+                    {"im1": im1.astype(jnp.float32),
+                     "im2": im2.astype(jnp.float32)},
+                    self.batch_sharding,
+                )
+                carry, parts = self._train_step(carry, batch_d, rng)
+                return carry, parts
+            idxs = step0 + jnp.arange(steps_per_epoch)
+            state, parts_stack = jax.lax.scan(body, state, (pos_all, idxs))
+            return state, jax.tree.map(lambda a: jnp.mean(a, axis=0), parts_stack)
 
-        jit_step = jax.jit(
-            step_gen,
+        jit_epoch = jax.jit(
+            epoch_fn,
             in_shardings=(self.repl, self.repl, self.repl, self.repl),
             out_shardings=(self.repl, self.repl),
             donate_argnums=(0,),
@@ -428,33 +450,28 @@ class UPFlowTrainer:
         history = []
         t0 = time.time()
         step = start_epoch * steps_per_epoch
-        root_key = jax.random.PRNGKey(cfg.seed + 1)
+        root_key_dev = jax.random.PRNGKey(cfg.seed + 1)
         for epoch in range(start_epoch, start_epoch + epochs):
             const, pos = first if epoch == start_epoch else pos_sampler(epoch)
             const = jax.device_put(const, self.repl)
-            meter_dev = None
-            n = 0
-            for s in range(steps_per_epoch):
-                rng = jax.random.fold_in(root_key, step)
-                self.state, parts = jit_step(
-                    self.state, const, take(pos, s), rng
+            pos_all = jax.tree.map(
+                lambda a: jnp.asarray(np.asarray(a).reshape(
+                    (steps_per_epoch, batch) + np.asarray(a).shape[1:])),
+                pos,
+            )
+            self.state, meter_dev = jit_epoch(
+                self.state, const, pos_all, jnp.int32(step)
+            )
+            step += steps_per_epoch
+            epoch_means = {k: float(v) for k, v in meter_dev.items()}
+            if log_every:
+                done = step - start_epoch * steps_per_epoch
+                print(
+                    f"epoch {epoch} step {step} loss "
+                    f"{epoch_means['loss_total']:.5f} "
+                    f"({done/(time.time()-t0):.2f} it/s)",
+                    flush=True,
                 )
-                step += 1
-                meter_dev = parts if meter_dev is None else jax.tree.map(
-                    jnp.add, meter_dev, parts
-                )
-                n += 1
-                if log_every and step % log_every == 0:
-                    done = step - start_epoch * steps_per_epoch
-                    print(
-                        f"epoch {epoch} step {step} loss "
-                        f"{float(meter_dev['loss_total'])/n:.5f} "
-                        f"({done/(time.time()-t0):.2f} it/s)",
-                        flush=True,
-                    )
-            epoch_means = {
-                k: float(v) / max(n, 1) for k, v in (meter_dev or {}).items()
-            }
             if val_dev is not None:
                 epoch_means["val_epe"] = float(jit_val(self.state, val_dev, gt_dev))
                 epoch_means["val_epe_zero_flow"] = val_zero
