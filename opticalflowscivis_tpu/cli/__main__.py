@@ -337,6 +337,9 @@ def cmd_train_upflow(argv):
                    help="global-norm gradient clip (0 = off; required for "
                         "lr >= 1e-3 — unclipped, pan8 flow explodes to "
                         "~250 px within one epoch)")
+    p.add_argument("--sgu", action="store_true",
+                   help="self-guided upsampling (if_sgu_upsample=True — the "
+                        "reference's headline novelty, upflow.py:21-93)")
     p.add_argument("--recipe", default="simple", choices=["simple", "ex_runner"],
                    help="simple = scripts/simple_train.py; ex_runner = "
                         "scripts/ex_runner.py (eq/oi spatial-transform distill)")
@@ -381,6 +384,14 @@ def cmd_train_upflow(argv):
     )
     if args.lr is not None:  # only override the recipe's own lr when asked
         kw["lr"] = args.lr
+    if args.sgu:
+        import dataclasses as _dc
+
+        from opticalflowscivis_tpu.models import UPFlowConfig as _UPC
+
+        base = UPFlowTrainConfig().model  # training default (norm on)
+        kw["model"] = _dc.replace(base, if_sgu_upsample=True)
+        assert isinstance(kw["model"], _UPC)
     cfg = (UPFlowTrainConfig.preset_ex_runner(**kw)
            if args.recipe == "ex_runner" else UPFlowTrainConfig(**kw))
     tr = UPFlowTrainer(cfg)

@@ -250,6 +250,30 @@ class UPFlowTrainer:
         data_dev = (
             jax.device_put(jnp.asarray(pairs), self.repl) if use_hbm else None
         )
+        # HBM path: one jitted lax.scan per epoch (same relay-dispatch
+        # economics as fit_device_gen — per-step dispatch costs ~0.8 s on the
+        # axon relay vs ~0.2 s of device compute for the 128² step)
+        root_key_dev = jax.random.PRNGKey(cfg.seed + 1)
+        if use_hbm:
+            def epoch_fn(state, data, idx_all, step0):
+                def body(carry, xs):
+                    idx, i = xs
+                    rng = jax.random.fold_in(root_key_dev, i)
+                    b = jnp.take(data, idx, axis=0).astype(jnp.float32)
+                    batch_d = jax.lax.with_sharding_constraint(
+                        {"im1": b[:, 0], "im2": b[:, 1]}, self.batch_sharding
+                    )
+                    return self._train_step(carry, batch_d, rng)
+                idxs = step0 + jnp.arange(idx_all.shape[0])
+                state, stack = jax.lax.scan(body, state, (idx_all, idxs))
+                return state, jax.tree.map(lambda a: jnp.mean(a, axis=0), stack)
+
+            jit_epoch = jax.jit(
+                epoch_fn,
+                in_shardings=(self.repl,) * 4,
+                out_shardings=(self.repl, self.repl),
+                donate_argnums=(0,),
+            )
         # Device-resident validation: pairs + GT upload ONCE, per-epoch EPE is
         # computed on device and only a scalar crosses the relay (predict()
         # per epoch re-uploads ~20 MB over the ~2 MB/s link — measured round-2
@@ -262,20 +286,30 @@ class UPFlowTrainer:
         history = []
         t0 = time.time()
         step = 0
-        root_key = jax.random.PRNGKey(cfg.seed + 1)
+        root_key = root_key_dev
         for epoch in range(epochs):
-            # device-side meter: scalars accumulate on device and materialize
-            # once per epoch (a float() per part per step costs a relay round
-            # trip each — dozens of ms of dead time every step)
-            meter_dev = None
-            n = 0
-            for idx in ds.epoch_indices():
-                rng = jax.random.fold_in(root_key, step)
-                if use_hbm:
-                    self.state, parts = self._jit_train_idx(
-                        self.state, data_dev, jnp.asarray(idx), rng
+            if use_hbm:
+                idx_all = jnp.asarray(np.stack(list(ds.epoch_indices())))
+                self.state, meter = jit_epoch(
+                    self.state, data_dev, idx_all, jnp.int32(step)
+                )
+                step += int(idx_all.shape[0])
+                epoch_means = {k: float(v) for k, v in meter.items()}
+                if log_every:
+                    print(
+                        f"epoch {epoch} step {step} loss "
+                        f"{epoch_means['loss_total']:.5f} "
+                        f"({step/(time.time()-t0):.2f} it/s)",
+                        flush=True,
                     )
-                else:
+            else:
+                # streamed fallback: device-side meter — scalars accumulate on
+                # device and materialize once per epoch (a float() per part
+                # per step costs a relay round trip each)
+                meter_dev = None
+                n = 0
+                for idx in ds.epoch_indices():
+                    rng = jax.random.fold_in(root_key, step)
                     b = jnp.asarray(pairs[idx])
                     self.state, parts = self._jit_train(
                         self.state,
@@ -283,21 +317,21 @@ class UPFlowTrainer:
                                        self.batch_sharding),
                         rng,
                     )
-                step += 1
-                meter_dev = parts if meter_dev is None else jax.tree.map(
-                    jnp.add, meter_dev, parts
-                )
-                n += 1
-                if log_every and step % log_every == 0:
-                    print(
-                        f"epoch {epoch} step {step} loss "
-                        f"{float(meter_dev['loss_total'])/n:.5f} "
-                        f"({step/(time.time()-t0):.2f} it/s)",
-                        flush=True,
+                    step += 1
+                    meter_dev = parts if meter_dev is None else jax.tree.map(
+                        jnp.add, meter_dev, parts
                     )
-            epoch_means = {
-                k: float(v) / max(n, 1) for k, v in (meter_dev or {}).items()
-            }
+                    n += 1
+                    if log_every and step % log_every == 0:
+                        print(
+                            f"epoch {epoch} step {step} loss "
+                            f"{float(meter_dev['loss_total'])/n:.5f} "
+                            f"({step/(time.time()-t0):.2f} it/s)",
+                            flush=True,
+                        )
+                epoch_means = {
+                    k: float(v) / max(n, 1) for k, v in (meter_dev or {}).items()
+                }
             if val_dev is not None:
                 epoch_means["val_epe"] = float(jit_val(self.state, val_dev, gt_dev))
                 epoch_means["val_epe_zero_flow"] = val_zero
