@@ -337,6 +337,10 @@ def cmd_train_upflow(argv):
                    help="global-norm gradient clip (0 = off; required for "
                         "lr >= 1e-3 — unclipped, pan8 flow explodes to "
                         "~250 px within one epoch)")
+    p.add_argument("--exp_name", default="",
+                   help="suffix for the run dir (Results/<ds>/upflow_<name>) "
+                        "so A-B arms don't clobber the baseline run's "
+                        "checkpoint/loss.json")
     p.add_argument("--sgu", action="store_true",
                    help="self-guided upsampling (if_sgu_upsample=True — the "
                         "reference's headline novelty, upflow.py:21-93)")
@@ -377,7 +381,10 @@ def cmd_train_upflow(argv):
         batch_size=args.batch_size,
         n_epoch=args.epochs,
         grad_clip=args.grad_clip,
-        exp_dir=os.path.join(args.results_dir, args.dataset, "upflow"),
+        exp_dir=os.path.join(
+            args.results_dir, args.dataset,
+            "upflow" if not args.exp_name else f"upflow_{args.exp_name}",
+        ),
         loss=UPFlowLossConfig(census_weight=args.census_weight,
                               msd_weight=args.msd_weight,
                               smooth_order_1_weight=args.smooth1_weight),

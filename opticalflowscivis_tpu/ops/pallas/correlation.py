@@ -25,6 +25,7 @@ Design:
 from __future__ import annotations
 
 import itertools
+import os
 from functools import partial
 
 import jax
@@ -66,6 +67,8 @@ def _pick_tile_h(h: int, w: int, c: int, max_disp: int) -> int | None:
 
 def pallas_cost_volume_supported(shape: tuple, max_disp: int) -> bool:
     """True if the fused kernel handles this shape (2-D, tileable into VMEM)."""
+    if os.environ.get("OFS_NO_PALLAS"):  # debug escape hatch (kernel-fault triage)
+        return False
     if len(shape) != 4:  # [B, H, W, C] only; 3-D uses the jnp path for now
         return False
     _, h, w, c = shape

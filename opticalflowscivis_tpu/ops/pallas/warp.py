@@ -31,6 +31,7 @@ derivative one-hots); zeros mode falls back to the jnp vjp.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -67,6 +68,8 @@ def _pick_tile(h: int, w: int, c: int, r: int) -> int | None:
 
 
 def warp2d_pallas_supported(img_shape: tuple, r: int = 16) -> bool:
+    if os.environ.get("OFS_NO_PALLAS"):  # debug escape hatch (kernel-fault triage)
+        return False
     if len(img_shape) != 4:
         return False
     _, h, w, c = img_shape

@@ -48,6 +48,14 @@ class UPFlowTrainConfig:
     #   (Results/pan_long_lr1e3_abort) — clipping is the knob that makes
     #   hot-lr recipes usable at all.
     seed: int = 0
+    scan_chunk: int = 25  # max steps fused into ONE dispatched XLA program.
+    #   The per-epoch lax.scan keeps relay dispatch off the step path, but the
+    #   axon TPU worker dies ("kernel fault") on single program executions
+    #   that run too long: measured round 4, the b32 128² UPFlow epoch as one
+    #   scan(100) (~18 s device) kills the worker deterministically while
+    #   scan(3) at b32 and scan(100) at b8 (~5 s) both pass.  Chunking the
+    #   epoch into <=scan_chunk-step programs keeps each dispatch ~5 s while
+    #   still amortizing the ~0.8 s relay dispatch cost 25x.
     exp_dir: str = "./demo_exp"
     bfloat16: bool = True
     pad_multiple: int = 64  # 6 stride-2 levels
@@ -289,12 +297,23 @@ class UPFlowTrainer:
         root_key = root_key_dev
         for epoch in range(epochs):
             if use_hbm:
-                idx_all = jnp.asarray(np.stack(list(ds.epoch_indices())))
-                self.state, meter = jit_epoch(
-                    self.state, data_dev, idx_all, jnp.int32(step)
-                )
-                step += int(idx_all.shape[0])
-                epoch_means = {k: float(v) for k, v in meter.items()}
+                idx_np = np.stack(list(ds.epoch_indices()))
+                # chunked dispatch (see UPFlowTrainConfig.scan_chunk): one
+                # program per <=chunk steps, weighted-mean meter across chunks
+                meter = None
+                done = 0
+                for c in range(0, idx_np.shape[0], cfg.scan_chunk):
+                    idx_c = jnp.asarray(idx_np[c : c + cfg.scan_chunk])
+                    w = idx_c.shape[0]
+                    self.state, m_c = jit_epoch(
+                        self.state, data_dev, idx_c, jnp.int32(step + c)
+                    )
+                    meter = jax.tree.map(lambda a, b: a + w * b, meter, m_c) \
+                        if meter is not None else jax.tree.map(
+                            lambda b: w * b, m_c)
+                    done += w
+                step += int(idx_np.shape[0])
+                epoch_means = {k: float(v) / done for k, v in meter.items()}
                 if log_every:
                     print(
                         f"epoch {epoch} step {step} loss "
@@ -466,7 +485,8 @@ class UPFlowTrainer:
                 )
                 carry, parts = self._train_step(carry, batch_d, rng)
                 return carry, parts
-            idxs = step0 + jnp.arange(steps_per_epoch)
+            n_scan = jax.tree.leaves(pos_all)[0].shape[0]
+            idxs = step0 + jnp.arange(n_scan)
             state, parts_stack = jax.lax.scan(body, state, (pos_all, idxs))
             return state, jax.tree.map(lambda a: jnp.mean(a, axis=0), parts_stack)
 
@@ -488,16 +508,28 @@ class UPFlowTrainer:
         for epoch in range(start_epoch, start_epoch + epochs):
             const, pos = first if epoch == start_epoch else pos_sampler(epoch)
             const = jax.device_put(const, self.repl)
-            pos_all = jax.tree.map(
-                lambda a: jnp.asarray(np.asarray(a).reshape(
-                    (steps_per_epoch, batch) + np.asarray(a).shape[1:])),
+            pos_np = jax.tree.map(
+                lambda a: np.asarray(a).reshape(
+                    (steps_per_epoch, batch) + np.asarray(a).shape[1:]),
                 pos,
             )
-            self.state, meter_dev = jit_epoch(
-                self.state, const, pos_all, jnp.int32(step)
-            )
+            # chunked dispatch (see UPFlowTrainConfig.scan_chunk)
+            meter_dev = None
+            done = 0
+            for c in range(0, steps_per_epoch, cfg.scan_chunk):
+                pos_c = jax.tree.map(
+                    lambda a: jnp.asarray(a[c : c + cfg.scan_chunk]), pos_np
+                )
+                w = jax.tree.leaves(pos_c)[0].shape[0]
+                self.state, m_c = jit_epoch(
+                    self.state, const, pos_c, jnp.int32(step + c)
+                )
+                meter_dev = jax.tree.map(lambda a, b: a + w * b, meter_dev, m_c) \
+                    if meter_dev is not None else jax.tree.map(
+                        lambda b: w * b, m_c)
+                done += w
             step += steps_per_epoch
-            epoch_means = {k: float(v) for k, v in meter_dev.items()}
+            epoch_means = {k: float(v) / done for k, v in meter_dev.items()}
             if log_every:
                 done = step - start_epoch * steps_per_epoch
                 print(

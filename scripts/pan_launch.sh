@@ -1,0 +1,28 @@
+#!/bin/bash
+# Supervised launcher for the long device-gen pan run.  The axon TPU worker
+# can crash (kernel fault) and the relay then wedges for minutes; training
+# checkpoints + appends loss.json every epoch, so the recovery loop is:
+# probe until the worker answers, train with --resume, repeat on crash.
+# A sentinel file stops the loop: touch /tmp/pan_stop
+# Usage: pan_launch.sh [extra train_upflow args]
+cd /root/repo
+while [ ! -f /tmp/pan_stop ]; do
+  for i in $(seq 1 40); do
+    [ -f /tmp/pan_stop ] && exit 0
+    timeout 120 python - <<'EOF' && break
+import jax, jax.numpy as jnp
+x = jnp.ones((128, 128)) @ jnp.ones((128, 128))
+assert float(x.sum()) == 128 * 128 * 128
+print("tpu ok", flush=True)
+EOF
+    echo "probe $i failed; retrying in 120s" >&2
+    sleep 120
+  done
+  [ -f /tmp/pan_stop ] && exit 0
+  python -m opticalflowscivis_tpu.cli train_upflow \
+    --dataset rectangle2d_tex_pan8 --device_gen 3200 --batch_size 32 \
+    --census_weight 1 --smooth1_weight 0.1 --lr 1e-3 --grad_clip 1.0 \
+    --resume "$@" && exit 0
+  echo "train exited nonzero; probing and resuming" >&2
+  sleep 60
+done

@@ -228,3 +228,58 @@ def test_upflow_fit_device_gen_resume_offsets_epoch_seed(tmp_path):
                               resume=True)
     assert resumed_epochs == [2]
     assert len(hist) == 1
+
+
+def test_fit_device_gen_scan_chunk_equivalence(tmp_path):
+    """Chunked epoch dispatch (scan_chunk) is bit-identical to one scan.
+
+    The rng folds on the ABSOLUTE step index and chunking preserves data
+    order, so params after an epoch must not depend on the chunking —
+    the axon-crash mitigation (scan_chunk comment in UPFlowTrainConfig)
+    cannot change training results.
+    """
+    import jax
+
+    from opticalflowscivis_tpu.training.upflow_trainer import (
+        UPFlowTrainConfig,
+        UPFlowTrainer,
+    )
+    from tests.test_upflow import TINY
+
+    grid, box = (64, 64), (20, 24)
+
+    def make(chunk, sub):
+        cfg = UPFlowTrainConfig(
+            batch_size=8, bfloat16=False, exp_dir=str(tmp_path / sub),
+            model=TINY, pad_multiple=64, scan_chunk=chunk,
+        )
+        tr = UPFlowTrainer(cfg)
+
+        def pos_sampler(epoch):
+            tex, big, bt, ct = pan_scene_host(
+                np.random.default_rng(100 + epoch), 41, grid, box,
+                pan_vel_max=3,
+            )
+            bp, cp = pan_pair_positions(bt, ct, np.arange(40))
+            return ({"tex": jnp.asarray(tex), "big": jnp.asarray(big)},
+                    {"box": bp, "cam": cp})
+
+        def gen_fn(const, pos):
+            return pan_pairs_device(
+                const["tex"], const["big"], pos["box"], pos["cam"], grid,
+                in_channels=3,
+            )
+
+        hist = tr.fit_device_gen(
+            gen_fn, pos_sampler, steps_per_epoch=5, epochs=1, log_every=0,
+        )
+        return tr, hist
+
+    tr_a, hist_a = make(2, "a")   # chunks of 2, 2, 1
+    tr_b, hist_b = make(64, "b")  # one scan
+    assert np.isclose(hist_a[0]["loss_total"], hist_b[0]["loss_total"],
+                      rtol=0, atol=1e-6)
+    la = jax.tree.leaves(tr_a.state.params)
+    lb = jax.tree.leaves(tr_b.state.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
