@@ -337,6 +337,10 @@ def cmd_train_upflow(argv):
                    help="global-norm gradient clip (0 = off; required for "
                         "lr >= 1e-3 — unclipped, pan8 flow explodes to "
                         "~250 px within one epoch)")
+    p.add_argument("--ckpt_every", type=int, default=1,
+                   help="save the checkpoint every K epochs (a save is a full "
+                        "params+opt D2H over the slow relay; raise for "
+                        "short device-gen epochs)")
     p.add_argument("--exp_name", default="",
                    help="suffix for the run dir (Results/<ds>/upflow_<name>) "
                         "so A-B arms don't clobber the baseline run's "
@@ -381,6 +385,7 @@ def cmd_train_upflow(argv):
         batch_size=args.batch_size,
         n_epoch=args.epochs,
         grad_clip=args.grad_clip,
+        ckpt_every=args.ckpt_every,
         exp_dir=os.path.join(
             args.results_dir, args.dataset,
             "upflow" if not args.exp_name else f"upflow_{args.exp_name}",

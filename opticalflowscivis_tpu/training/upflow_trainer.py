@@ -48,6 +48,13 @@ class UPFlowTrainConfig:
     #   (Results/pan_long_lr1e3_abort) — clipping is the knob that makes
     #   hot-lr recipes usable at all.
     seed: int = 0
+    ckpt_every: int = 1  # save the Orbax checkpoint every K epochs.  A save
+    #   pulls the full params+opt state D2H over the ~2 MB/s relay (~20-40 s
+    #   for the 3.5M-param UPFlow) — at 100-step epochs a per-epoch save is
+    #   a third of the wall time.  Resume correctness is kept by ckpt_meta
+    #   .json (epochs_completed written WITH each save): a crash between
+    #   saves resumes from the last saved epoch, replaying the deterministic
+    #   per-epoch seeds since, and truncating loss.json to match.
     scan_chunk: int = 25  # max steps fused into ONE dispatched XLA program.
     #   The per-epoch lax.scan keeps relay dispatch off the step path, but the
     #   axon TPU worker dies ("kernel fault") on single program executions
@@ -361,7 +368,8 @@ class UPFlowTrainer:
                 )
             history.append(epoch_means)
             self._append_loss_json(epoch_means)
-            self.save_checkpoint()
+            if (epoch + 1) % cfg.ckpt_every == 0 or epoch == epochs - 1:
+                self.save_checkpoint(epochs_completed=epoch + 1)
         return history
 
     def _device_val(self, val_pairs: np.ndarray, val_flow: np.ndarray):
@@ -430,6 +438,8 @@ class UPFlowTrainer:
         # the exact scenes already seen before reaching fresh data, and the
         # fold_in(root_key, step) rng would replay from 0 (ADVICE r3, medium).
         start_epoch = self._completed_epochs() if resume else 0
+        if resume:
+            self._truncate_loss_json(start_epoch)
         first = pos_sampler(start_epoch)
         n_pos = jax.tree.leaves(first[1])[0].shape[0]
         if n_pos % steps_per_epoch:
@@ -548,12 +558,21 @@ class UPFlowTrainer:
                 )
             history.append(epoch_means)
             self._append_loss_json(epoch_means)
-            self.save_checkpoint()
+            if ((epoch - start_epoch + 1) % cfg.ckpt_every == 0
+                    or epoch == start_epoch + epochs - 1):
+                self.save_checkpoint(epochs_completed=epoch + 1)
         return history
 
     def _completed_epochs(self) -> int:
-        """Epochs already appended to this run's loss.json — the resume
-        offset for device-gen seeds and the step rng."""
+        """Epochs completed AT THE LAST CHECKPOINT — the resume offset for
+        device-gen seeds and the step rng.  Prefers ckpt_meta.json (written
+        with each save, consistent with the restored params even when
+        ckpt_every > 1); falls back to loss.json length for runs from before
+        the meta file existed."""
+        meta = os.path.join(self.cfg.exp_dir, "ckpt_meta.json")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                return int(json.load(f).get("epochs_completed", 0))
         path = os.path.join(self.cfg.exp_dir, "loss.json")
         if not os.path.exists(path):
             return 0
@@ -626,7 +645,7 @@ class UPFlowTrainer:
             epoch_means = {k: v / max(n, 1) for k, v in meter.items()}
             history.append(epoch_means)
             self._append_loss_json(epoch_means)
-            self.save_checkpoint()
+            self.save_checkpoint(epochs_completed=epoch + 1)
         return history
 
     def fit_kitti_hbm(self, cache, steps_per_epoch: int,
@@ -751,7 +770,7 @@ class UPFlowTrainer:
             }
             history.append(epoch_means)
             self._append_loss_json(epoch_means)
-            self.save_checkpoint()
+            self.save_checkpoint(epochs_completed=epoch + 1)
         return history
 
     def predict(self, pairs: np.ndarray):
@@ -776,7 +795,7 @@ class UPFlowTrainer:
         with open(path, "w+") as f:
             json.dump(data, f, indent=4)
 
-    def save_checkpoint(self):
+    def save_checkpoint(self, epochs_completed: int | None = None):
         if jax.process_index() != 0:
             return
         from opticalflowscivis_tpu.training.checkpoint import save_state
@@ -784,6 +803,23 @@ class UPFlowTrainer:
         save_state(
             os.path.abspath(os.path.join(self.cfg.exp_dir, "upflow.ckpt")), self.state
         )
+        if epochs_completed is not None:
+            meta = os.path.join(self.cfg.exp_dir, "ckpt_meta.json")
+            with open(meta, "w") as f:
+                json.dump({"epochs_completed": int(epochs_completed)}, f)
+
+    def _truncate_loss_json(self, n_epochs: int):
+        """Drop loss.json entries past the restored checkpoint (resume after a
+        crash between ckpt_every saves re-runs those epochs)."""
+        path = os.path.join(self.cfg.exp_dir, "loss.json")
+        if not os.path.exists(path):
+            return
+        with open(path) as f:
+            data = json.load(f)
+        if len(data.get("loss", [])) > n_epochs:
+            data["loss"] = data["loss"][:n_epochs]
+            with open(path, "w") as f:
+                json.dump(data, f, indent=4)
 
     def load_checkpoint(self) -> bool:
         from opticalflowscivis_tpu.training.checkpoint import restore_state
