@@ -244,6 +244,10 @@ class UPFlowTrainer:
         ``val_epe_zero_flow`` baseline — the skill-vs-trivial-predictor
         trajectory the quality reports quote."""
         cfg = self.cfg
+        try:  # stale sentinel from a previous stop must not kill a new run
+            os.remove(os.path.join(cfg.exp_dir, "STOP"))
+        except OSError:
+            pass
         pairs, _ = pad_to_multiple(pairs, cfg.pad_multiple, leading_axes=2)
         epochs = epochs if epochs is not None else cfg.n_epoch
         n_data = self.mesh.shape["data"]
@@ -370,6 +374,10 @@ class UPFlowTrainer:
             self._append_loss_json(epoch_means)
             if (epoch + 1) % cfg.ckpt_every == 0 or epoch == epochs - 1:
                 self.save_checkpoint(epochs_completed=epoch + 1)
+            if self._stop_requested():
+                self.save_checkpoint(epochs_completed=epoch + 1)
+                print(f"STOP sentinel: ending after epoch {epoch}", flush=True)
+                break
         return history
 
     def _device_val(self, val_pairs: np.ndarray, val_flow: np.ndarray):
@@ -433,6 +441,10 @@ class UPFlowTrainer:
           ``val_epe`` trajectory (same contract as ``fit``).
         """
         cfg = self.cfg
+        try:  # stale sentinel from a previous stop must not kill a new run
+            os.remove(os.path.join(cfg.exp_dir, "STOP"))
+        except OSError:
+            pass
         epochs = epochs if epochs is not None else cfg.n_epoch
         # Resume offset: replaying pos_sampler(0..k) seeds would re-train on
         # the exact scenes already seen before reaching fresh data, and the
@@ -561,6 +573,10 @@ class UPFlowTrainer:
             if ((epoch - start_epoch + 1) % cfg.ckpt_every == 0
                     or epoch == start_epoch + epochs - 1):
                 self.save_checkpoint(epochs_completed=epoch + 1)
+            if self._stop_requested():
+                self.save_checkpoint(epochs_completed=epoch + 1)
+                print(f"STOP sentinel: ending after epoch {epoch}", flush=True)
+                break
         return history
 
     def _completed_epochs(self) -> int:
@@ -794,6 +810,14 @@ class UPFlowTrainer:
         data["loss"].append(parts)
         with open(path, "w+") as f:
             json.dump(data, f, indent=4)
+
+    def _stop_requested(self) -> bool:
+        """Graceful-stop sentinel: ``<exp_dir>/STOP`` ends the run at the next
+        epoch boundary.  Killing the process mid-dispatch instead wedges the
+        axon relay for ~15 min (measured round 4) — touch the file, wait for
+        the epoch to finish, and the trainer exits cleanly after its
+        checkpoint save."""
+        return os.path.exists(os.path.join(self.cfg.exp_dir, "STOP"))
 
     def save_checkpoint(self, epochs_completed: int | None = None):
         if jax.process_index() != 0:
