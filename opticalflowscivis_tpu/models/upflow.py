@@ -213,6 +213,14 @@ class UPFlowConfig:
     norm_moments_across_channels: bool = True
     norm_moments_across_images: bool = True
     if_sgu_upsample: bool = False
+    batch_directions: bool = True  # run the fw/bw decode streams stacked
+    #   along the batch axis through the shared-weight subnets (one
+    #   extractor/estimator/context/corr call per level instead of two).
+    #   Numerically identical (every op is per-sample: convs, per-image
+    #   moments, cost volume) and parameter-tree identical (modules are
+    #   explicitly named), but halves the op count — the UPFlow step at
+    #   small grids is utilization-bound, not FLOP-bound (RESULTS.md round
+    #   4), so fewer, 2x-larger ops is the available throughput lever.
 
 
 class UPFlowNet(nn.Module):
@@ -229,8 +237,14 @@ class UPFlowNet(nn.Module):
         im2 = im2.astype(compute)
 
         extractor = FeatureExtractor(cfg.num_chs, dtype=self.dtype)
-        p1 = extractor(im1)
-        p2 = extractor(im2)
+        if cfg.batch_directions:  # one pyramid pass over [im1; im2]
+            p_all = extractor(jnp.concatenate([im1, im2], axis=0))
+            nb = im1.shape[0]
+            p1 = [f[:nb] for f in p_all]
+            p2 = [f[nb:] for f in p_all]
+        else:
+            p1 = extractor(im1)
+            p2 = extractor(im2)
 
         n_levels = cfg.output_level + 1
         conv1x1 = [
@@ -253,6 +267,64 @@ class UPFlowNet(nn.Module):
 
         b = im1.shape[0]
         coarse_spatial = p1[0].shape[1:-1]
+
+        if cfg.batch_directions:
+            # Stacked streams: index [0:b] is the forward direction
+            # (source=im1, target=im2), [b:2b] the backward one.  Each
+            # shared-weight subnet runs ONCE per level on the 2b batch.
+            flow = jnp.zeros((2 * b,) + coarse_spatial + (2,), jnp.float32)
+            flows = []
+            for level in range(n_levels):
+                xa = jnp.concatenate([p1[level], p2[level]], axis=0)
+                xb = jnp.concatenate([p2[level], p1[level]], axis=0)
+                xa_1x1 = conv1x1[level](xa)
+                flow_up = (
+                    flow
+                    if flow.shape[1:-1] == xa.shape[1:-1]
+                    else upsample_flow_as(flow, xa)
+                )
+                if level == 0:
+                    fb_warp = xb
+                else:
+                    if sgu is not None:
+                        # target-frame 1x1 feats = source feats with the
+                        # stream halves swapped (no second conv call)
+                        xb_1x1 = jnp.concatenate(
+                            [xa_1x1[b:], xa_1x1[:b]], axis=0
+                        )
+                        flow_up = sgu(flow_up, xa_1x1, xb_1x1)
+                    fb_warp = warp_with_mask(xb, flow_up)
+                ca, cb = xa, fb_warp
+                if cfg.if_norm_before_cost_volume:
+                    ca, cb = normalize_features(
+                        ca, cb, cfg.norm_moments_across_channels,
+                        cfg.norm_moments_across_images,
+                    )
+                corr = _leaky(cost_volume(ca, cb, cfg.search_range))
+                feat, res = estimator(
+                    jnp.concatenate(
+                        [corr, xa_1x1, flow_up.astype(compute)], axis=-1
+                    )
+                )
+                flow_mid = flow_up + res.astype(jnp.float32)
+                fine = context(
+                    jnp.concatenate([feat, flow_mid.astype(compute)], axis=-1)
+                )
+                flow = flow_mid + fine.astype(jnp.float32)
+                flows.append((flow[:b], flow[b:]))
+
+            im_a = jnp.concatenate([im1, im2], axis=0)
+            flow_out = upsample_flow_as(flow, im_a)
+            if sgu is not None:
+                ga = sgu_out_conv(im_a)
+                gb = jnp.concatenate([ga[b:], ga[:b]], axis=0)
+                flow_out = sgu(flow, ga, gb, output_level_flow=flow_out)
+            return {
+                "flow_f": flow_out[:b],
+                "flow_b": flow_out[b:],
+                "flows": flows[::-1],  # finest-first like the reference
+            }
+
         flow_f = jnp.zeros((b,) + coarse_spatial + (2,), jnp.float32)
         flow_b = jnp.zeros_like(flow_f)
         flows = []

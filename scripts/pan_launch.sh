@@ -20,9 +20,9 @@ EOF
   done
   [ -f /tmp/pan_stop ] && exit 0
   python -m opticalflowscivis_tpu.cli train_upflow \
-    --dataset rectangle2d_tex_pan8 --device_gen 3200 --batch_size 32 \
+    --dataset rectangle2d_tex_pan8 --device_gen 1600 --batch_size 8 \
     --census_weight 1 --smooth1_weight 0.1 --lr 2e-4 --grad_clip 1.0 \
-    --ckpt_every 5 --resume "$@" && exit 0
+    --ckpt_every 4 --resume "$@" && exit 0
   echo "train exited nonzero; probing and resuming" >&2
   sleep 60
 done

@@ -229,3 +229,36 @@ def test_ex_runner_preset_accepts_lr_override():
     cfg = UPFlowTrainConfig.preset_ex_runner(lr=5e-3, batch_size=2)
     assert cfg.lr == 5e-3 and cfg.lr_gamma == 0.95 and cfg.eq_weight == 0.01
     assert UPFlowTrainConfig.preset_ex_runner().lr == 1e-2
+
+
+def test_batch_directions_equivalent_and_param_compatible():
+    """The direction-batched decode (batch_directions=True, the default) is
+    numerically equivalent to the two-stream reference layout and shares the
+    exact parameter tree (checkpoints interchange).  Every subnet op is
+    per-sample, so stacking fw/bw along batch changes scheduling only;
+    tolerance is float noise (the coarsest 2x2 normalized level amplifies
+    ulps through near-zero variances)."""
+    import dataclasses
+
+    base = dataclasses.replace(TINY, if_norm_before_cost_volume=True,
+                               norm_moments_across_channels=False,
+                               norm_moments_across_images=False)
+    k = jax.random.PRNGKey(2)
+    im1 = jax.random.uniform(k, (2, 64, 64, 3))
+    im2 = jax.random.uniform(jax.random.fold_in(k, 1), (2, 64, 64, 3))
+    for sgu in (False, True):
+        cfg_b = dataclasses.replace(base, batch_directions=True,
+                                    if_sgu_upsample=sgu)
+        cfg_u = dataclasses.replace(cfg_b, batch_directions=False)
+        net_b, net_u = UPFlowNet(cfg=cfg_b), UPFlowNet(cfg=cfg_u)
+        params = net_u.init(k, im1, im2)
+        pb = net_b.init(k, im1, im2)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(pb))
+        out_u = net_u.apply(params, im1, im2)
+        out_b = net_b.apply(params, im1, im2)
+        for key in ("flow_f", "flow_b"):
+            np.testing.assert_allclose(
+                np.asarray(out_u[key]), np.asarray(out_b[key]),
+                rtol=1e-4, atol=1e-3,
+            )
