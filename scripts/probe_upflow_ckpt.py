@@ -30,7 +30,12 @@ k = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 pairs = frames_to_pairs(series[:k, ..., :1], in_channels=3)
 gt = series[: k - 1, ..., 1 : 1 + spec.ndim] * spec.gt_flow_stride
 
-cfg = UPFlowTrainConfig(exp_dir=os.environ.get("UPFLOW_EXP_DIR", f"Results/{dataset}/upflow"), n_data=1)
+cfg = UPFlowTrainConfig(
+    exp_dir=os.environ.get("UPFLOW_EXP_DIR", f"Results/{dataset}/upflow"),
+    n_data=1,
+    # must match the run's optimizer chain or the Orbax tree mismatches
+    grad_clip=float(os.environ.get("UPFLOW_GRAD_CLIP", "0")),
+)
 tr = UPFlowTrainer(cfg)
 tr.init_state(pairs[:1])
 assert tr.load_checkpoint(), "no checkpoint"
@@ -42,7 +47,8 @@ gt_mag = np.linalg.norm(gt, axis=-1)
 box = gt_mag > 1e-6
 print(f"pred |flow|: mean {mag.mean():.4f} max {mag.max():.4f}")
 print(f"  on box (GT!=0, {box.mean()*100:.1f}% px): mean {mag[box].mean():.4f}")
-print(f"  on bg: mean {mag[~box].mean():.4f} max {mag[~box].max():.4f}")
+if (~box).any():  # pan datasets move every pixel — no static background
+    print(f"  on bg: mean {mag[~box].mean():.4f} max {mag[~box].max():.4f}")
 print(f"GT on box: mean {gt_mag[box].mean():.4f} max {gt_mag.max():.4f}")
 epe = np.linalg.norm(flow - gt, axis=-1)
 print(f"EPE: overall {epe.mean():.4f}  box {epe[box].mean():.4f}  bg {epe[~box].mean():.4f}")
