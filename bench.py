@@ -9,7 +9,7 @@ driver; falls back to CPU).
 Ordering is deliberate: the headline number is measured FIRST and its JSON line
 printed (and flushed) IMMEDIATELY, so a stall in any detail sub-bench cannot
 forfeit the round's perf evidence.  Detail sub-benches then run under a shared
-wall-clock budget (BENCH_BUDGET_S, default 480 s) and are skipped-with-reason
+wall-clock budget (BENCH_BUDGET_S, default 900 s) and are skipped-with-reason
 on overrun; results go to bench_details.json.
 
 Relay discipline (CLAUDE.md): the axon TPU relay caches identical calls and is
@@ -41,7 +41,7 @@ BATCH = 32
 H, W = 160, 224
 ITERS = 12
 REFERENCE_TRAIN_PAIRS_PER_SEC = 9.8  # UPFlow training anchor (simple_train.py:56-59)
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
 _T0 = time.perf_counter()
 
 # bf16 peak FLOP/s per chip by TPU generation (public specs); used for MFU.
