@@ -323,6 +323,13 @@ def cmd_train_upflow(argv):
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--census_weight", type=float, default=0.0)
     p.add_argument("--msd_weight", type=float, default=0.0)
+    p.add_argument("--photo_loss_type", default="abs_robust",
+                   choices=["abs_robust", "charbonnier", "L1", "SSIM"],
+                   help="photometric penalty (upflow.py:267-289; SSIM = "
+                        "weighted-SSIM, a wider basin for global shifts)")
+    p.add_argument("--photo_use_occ", action="store_true",
+                   help="occlusion-normalize photo/census "
+                        "(photo_loss_use_occ, upflow.py:506-534)")
     p.add_argument("--smooth1_weight", type=float, default=1.0,
                    help="edge-aware 1st-order smoothness (upflow.py:304 "
                         "default 1). Measured (round 3 overfit grid): on "
@@ -392,7 +399,9 @@ def cmd_train_upflow(argv):
         ),
         loss=UPFlowLossConfig(census_weight=args.census_weight,
                               msd_weight=args.msd_weight,
-                              smooth_order_1_weight=args.smooth1_weight),
+                              smooth_order_1_weight=args.smooth1_weight,
+                              photo_loss_type=args.photo_loss_type,
+                              photo_loss_use_occ=args.photo_use_occ),
     )
     if args.lr is not None:  # only override the recipe's own lr when asked
         kw["lr"] = args.lr

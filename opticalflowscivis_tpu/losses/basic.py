@@ -59,6 +59,7 @@ def photometric_loss(
     img0: jax.Array,
     img1: jax.Array,
     ndim: int,
+    fast_warp_r: int = 0,
 ) -> jax.Array:
     """RIFE's photometric consistency term (RIFE.py:264-281).
 
@@ -69,11 +70,29 @@ def photometric_loss(
     (The reference's inline ``backwrd_warp`` also carries a half-pixel grid
     offset from align_corners-mismatched normalization, RIFE.py:255-258 — a bug
     we do not replicate; lambda_photo=1e-5 makes the difference negligible.)
+
+    ``fast_warp_r > 0`` routes the two full-resolution warps through the MXU
+    one-hot Pallas kernel on TPU (exact for |flow| <= r, clamped beyond — the
+    same bound the model's own warps already accept).  Measured round 5: the
+    jnp gather warps here were the top ops of the b64 128^2 train step
+    (~100 ms of 184 ms device time, Results/trace_summary.json).
     """
     per_image_denom = merged.shape[0] * 3  # reference divides channel-sum by 3
 
+    use_fast = fast_warp_r > 0 and ndim == 2 and jax.default_backend() == "tpu"
+    if use_fast:
+        from opticalflowscivis_tpu.ops.pallas.warp import (
+            backward_warp_pallas,
+            warp2d_pallas_supported,
+        )
+
+        use_fast = warp2d_pallas_supported(merged.shape, fast_warp_r)
+
     def one_side(f, target):
-        warped = backward_warp(merged, f, padding="zeros")
+        if use_fast:
+            warped = backward_warp_pallas(merged, f, fast_warp_r, "zeros")
+        else:
+            warped = backward_warp(merged, f, padding="zeros")
         p = charbonnier(warped - target)
         return jnp.sum(p) / per_image_denom
 

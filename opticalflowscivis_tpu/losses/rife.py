@@ -83,6 +83,7 @@ def rife_losses(
     weights: RIFELossWeights,
     ndim: int,
     gt_flow: jax.Array | None = None,
+    fast_warp_r: int = 0,
 ):
     """Compose the total RIFE training loss.
 
@@ -122,7 +123,8 @@ def rife_losses(
     l1_reg = _block_param_l1(params) if weights.reg else jnp.zeros((), jnp.float32)
 
     loss_photo = (
-        photometric_loss(merged[-1], flow_list[-1], img0, img1, ndim)
+        photometric_loss(merged[-1], flow_list[-1], img0, img1, ndim,
+                         fast_warp_r=fast_warp_r)
         if weights.photo
         else jnp.zeros((), jnp.float32)
     )

@@ -334,16 +334,40 @@ def _bwd(r, padding, res, g):
         dimg, dflow = _backward_fused(img, flow, r, g)
         return dimg.astype(img.dtype), dflow.astype(flow.dtype)
 
-    # zeros mode: fall back to the exact jnp formulation
-    from opticalflowscivis_tpu.ops.warp import backward_warp
+    # zeros mode, fused: zeros(img, flow) = border(img, flow) * V(flow) where
+    # V is the separable per-axis in-bounds weight fraction (see _forward), so
+    #   d/dimg  = border_bwd_img(g * V)
+    #   d/dflow = border_bwd_flow(g * V) + <g, border(img, flow)> * dV/dflow.
+    # This keeps the whole VJP on the MXU kernels — the previous exact-jnp
+    # fallback re-introduced the bilinear gathers this kernel exists to avoid
+    # (measured round 5: the b64 128^2 RIFE train step spent ~100 ms of its
+    # 184 ms in photometric_loss's gather warps).
+    b, h, w, c = img.shape
+    flow_f = jnp.clip(flow.astype(jnp.float32), -r, r)
+    gf = g.astype(jnp.float32)
 
-    flow_c = jnp.clip(flow, -r, r)
+    def axis_w(s, size):
+        lo = jnp.floor(s)
+        frac = s - lo
+        in_lo = (lo >= 0) & (lo <= size - 1)
+        in_hi = (lo + 1 >= 0) & (lo + 1 <= size - 1)
+        wv = jnp.where(in_lo, 1.0 - frac, 0.0) + jnp.where(in_hi, frac, 0.0)
+        # d(wv)/ds away from integer breakpoints (subgradient at them)
+        dv = jnp.where(in_hi, 1.0, 0.0) - jnp.where(in_lo, 1.0, 0.0)
+        return wv, dv
 
-    def f(im, fl):
-        return backward_warp(im, fl, padding=padding)
+    base_y = jnp.arange(h, dtype=jnp.float32).reshape(1, h, 1)
+    base_x = jnp.arange(w, dtype=jnp.float32).reshape(1, 1, w)
+    vy, dvy = axis_w(base_y + flow_f[..., 0], h)
+    vx, dvx = axis_w(base_x + flow_f[..., 1], w)
+    v = (vy * vx)[..., None]
 
-    out_example, vjp = jax.vjp(f, img, flow_c)
-    dimg, dflow = vjp(g.astype(out_example.dtype))
+    dimg, dflow = _backward_fused(img, flow, r, gf * v)
+    border_out = _forward(img, flow, r, "border").astype(jnp.float32)
+    g_dot_out = jnp.sum(gf * border_out, axis=-1)  # [B, H, W]
+    inside = (jnp.abs(flow.astype(jnp.float32)) < r).astype(jnp.float32)
+    dv_flow = jnp.stack([dvy * vx, vy * dvx], axis=-1)
+    dflow = dflow + g_dot_out[..., None] * dv_flow * inside
     return dimg.astype(img.dtype), dflow.astype(flow.dtype)
 
 

@@ -88,7 +88,8 @@ def make_train_step(model: IFNet, cfg: TrainConfig, has_flow: bool,
             gt_flow = gt_flow * gt_flow_scale  # stored units → px/frame
         outputs = model.apply(params, img0, img1, gt)
         return rife_losses(
-            outputs, img0, img1, gt, params, cfg.loss, ndim, gt_flow=gt_flow
+            outputs, img0, img1, gt, params, cfg.loss, ndim, gt_flow=gt_flow,
+            fast_warp_r=cfg.model.fast_warp_r,
         )
 
     def train_step(state: TrainState, batch: jax.Array):
@@ -104,7 +105,8 @@ def make_train_step(model: IFNet, cfg: TrainConfig, has_flow: bool,
             gt_flow = gt_flow * gt_flow_scale
         outputs = model.apply(state.params, img0, img1, gt)
         _, parts = rife_losses(
-            outputs, img0, img1, gt, state.params, cfg.loss, ndim, gt_flow=gt_flow
+            outputs, img0, img1, gt, state.params, cfg.loss, ndim,
+            gt_flow=gt_flow, fast_warp_r=cfg.model.fast_warp_r,
         )
         # merged prediction + teacher + flow for metric/visual consumers
         extras = {
@@ -412,9 +414,12 @@ class Trainer:
         # Resume offset: a resumed run must NOT replay pos_sampler(0..k) seeds
         # (it would re-train on the exact scenes already seen) nor restart the
         # step counter; completed epochs are recovered from loss.json, which
-        # fit appends once per epoch (ADVICE r3, medium).
-        start_epoch = self._completed_epochs() if resume else 0
-        first_pos = pos_sampler(start_epoch)
+        # fit appends once per epoch (ADVICE r3, medium).  The offset only
+        # applies when the checkpoint actually RESTORES — a failed restore
+        # with a non-zero offset would silently train fresh params while
+        # appearing to continue the run (ADVICE r4, medium).
+        guess = self._completed_epochs() if resume else 0
+        first_pos = pos_sampler(guess)
         n_pos = jax.tree.leaves(first_pos)[0].shape[0]
         if n_pos % steps_per_epoch:
             raise ValueError(
@@ -445,7 +450,15 @@ class Trainer:
                     )
             self.init_state(np.zeros(out.shape, np.float32), total_steps)
             if resume:
-                self.load_checkpoint()
+                restored = self.load_checkpoint()
+        else:
+            restored = resume  # a live in-memory state continues its run
+        start_epoch = guess if (resume and restored) else 0
+        if resume and not restored:
+            print(
+                "resume requested but no checkpoint restored; starting from "
+                "epoch 0", flush=True,
+            )
 
         def step_pos(state, pos):
             b = jax.lax.with_sharding_constraint(
@@ -467,7 +480,7 @@ class Trainer:
         t0 = time.time()
         step = start_epoch * steps_per_epoch
         for epoch in range(start_epoch, start_epoch + epochs):
-            pos = first_pos if epoch == start_epoch else pos_sampler(epoch)
+            pos = first_pos if epoch == guess else pos_sampler(epoch)
             for s in range(steps_per_epoch):
                 p = jnp.asarray(pos[s * batch : (s + 1) * batch])
                 self.state, parts = jit_step(self.state, p)

@@ -258,11 +258,31 @@ class UPFlowTrainer:
                 f"devices needs at least one pair per device)"
             )
         ds = TupleDataset(pairs, batch, seed=cfg.seed)
+        restored = self.state is not None  # a live in-memory state continues
         if self.state is None:
             self.init_state(pairs[:1],
                             steps_per_epoch=max(1, pairs.shape[0] // batch))
             if resume:
-                self.load_checkpoint()
+                restored = self.load_checkpoint()
+        # Resume offset (ADVICE r4): without it, STOP+resume restarts the
+        # step counter/rng at 0 and appends duplicate epochs to loss.json.
+        # Applied only after a SUCCESSFUL restore (same guard as
+        # fit_device_gen); the shuffle stream is advanced past the completed
+        # epochs so the data order continues where the original run left off.
+        start_epoch = 0
+        if resume:
+            if restored:
+                start_epoch = self._completed_epochs()
+                self._truncate_loss_json(start_epoch)
+                for _ in range(start_epoch):
+                    for _ in ds.epoch_indices():
+                        pass
+            else:
+                print(
+                    "resume requested but no checkpoint restored; starting "
+                    "from epoch 0 with untruncated loss.json left in place",
+                    flush=True,
+                )
         use_hbm = bool(
             cfg.hbm_dataset_gb and pairs.nbytes <= cfg.hbm_dataset_gb * 1e9
         )
@@ -304,9 +324,10 @@ class UPFlowTrainer:
             )
         history = []
         t0 = time.time()
-        step = 0
+        steps_per_epoch = max(1, len(ds))
+        step = start_epoch * steps_per_epoch
         root_key = root_key_dev
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, start_epoch + epochs):
             if use_hbm:
                 idx_np = np.stack(list(ds.epoch_indices()))
                 # chunked dispatch (see UPFlowTrainConfig.scan_chunk): one
@@ -326,10 +347,11 @@ class UPFlowTrainer:
                 step += int(idx_np.shape[0])
                 epoch_means = {k: float(v) / done for k, v in meter.items()}
                 if log_every:
+                    done_total = step - start_epoch * steps_per_epoch
                     print(
                         f"epoch {epoch} step {step} loss "
                         f"{epoch_means['loss_total']:.5f} "
-                        f"({step/(time.time()-t0):.2f} it/s)",
+                        f"({done_total/(time.time()-t0):.2f} it/s)",
                         flush=True,
                     )
             else:
@@ -353,10 +375,11 @@ class UPFlowTrainer:
                     )
                     n += 1
                     if log_every and step % log_every == 0:
+                        done_total = step - start_epoch * steps_per_epoch
                         print(
                             f"epoch {epoch} step {step} loss "
                             f"{float(meter_dev['loss_total'])/n:.5f} "
-                            f"({step/(time.time()-t0):.2f} it/s)",
+                            f"({done_total/(time.time()-t0):.2f} it/s)",
                             flush=True,
                         )
                 epoch_means = {
@@ -372,10 +395,14 @@ class UPFlowTrainer:
                 )
             history.append(epoch_means)
             self._append_loss_json(epoch_means)
-            if (epoch + 1) % cfg.ckpt_every == 0 or epoch == epochs - 1:
+            saved = False
+            if ((epoch - start_epoch + 1) % cfg.ckpt_every == 0
+                    or epoch == start_epoch + epochs - 1):
                 self.save_checkpoint(epochs_completed=epoch + 1)
+                saved = True
             if self._stop_requested():
-                self.save_checkpoint(epochs_completed=epoch + 1)
+                if not saved:  # each save is a 20-40 s D2H over the relay
+                    self.save_checkpoint(epochs_completed=epoch + 1)
                 print(f"STOP sentinel: ending after epoch {epoch}", flush=True)
                 break
         return history
@@ -449,11 +476,16 @@ class UPFlowTrainer:
         # Resume offset: replaying pos_sampler(0..k) seeds would re-train on
         # the exact scenes already seen before reaching fresh data, and the
         # fold_in(root_key, step) rng would replay from 0 (ADVICE r3, medium).
-        start_epoch = self._completed_epochs() if resume else 0
-        if resume:
-            self._truncate_loss_json(start_epoch)
-        first = pos_sampler(start_epoch)
-        n_pos = jax.tree.leaves(first[1])[0].shape[0]
+        # The offset (and the loss.json truncation) must only apply when
+        # checkpoint params were actually RESTORED — a failed restore
+        # ("training from scratch") combined with a non-zero epoch offset
+        # would silently discard the run while appearing to continue it
+        # (ADVICE r4, medium) — so both are decided after the restore attempt
+        # below; the sampler probe uses the guessed offset so a successful
+        # resume samples exactly the epochs it will train on.
+        guess = self._completed_epochs() if resume else 0
+        probe = pos_sampler(guess)
+        n_pos = jax.tree.leaves(probe[1])[0].shape[0]
         if n_pos % steps_per_epoch:
             raise ValueError(
                 f"{n_pos} positions do not divide into {steps_per_epoch} steps"
@@ -471,10 +503,11 @@ class UPFlowTrainer:
                 lambda a: jnp.asarray(a[s * batch : (s + 1) * batch]), pos
             )
 
+        restored = self.state is not None  # a live in-memory state continues
         if self.state is None:
             # shape/dtype only (jax.eval_shape): init never reads the values,
             # so don't generate-and-download a real batch (ADVICE r3)
-            s1, _, _ = jax.eval_shape(gen_fn, first[0], take(first[1], 0))
+            s1, _, _ = jax.eval_shape(gen_fn, probe[0], take(probe[1], 0))
             for d in s1.shape[1:-1]:
                 if d % cfg.pad_multiple:
                     raise ValueError(
@@ -486,7 +519,18 @@ class UPFlowTrainer:
                 steps_per_epoch=steps_per_epoch,
             )
             if resume:
-                self.load_checkpoint()
+                restored = self.load_checkpoint()
+        start_epoch = 0
+        if resume:
+            if restored:
+                start_epoch = guess
+                self._truncate_loss_json(start_epoch)
+            else:
+                print(
+                    "resume requested but no checkpoint restored; starting "
+                    "from epoch 0 with untruncated loss.json left in place",
+                    flush=True,
+                )
 
         # One jitted lax.scan per EPOCH, not one dispatch per step: measured
         # on the axon relay, per-step host work (position upload + fold_in +
@@ -528,7 +572,7 @@ class UPFlowTrainer:
         step = start_epoch * steps_per_epoch
         root_key_dev = jax.random.PRNGKey(cfg.seed + 1)
         for epoch in range(start_epoch, start_epoch + epochs):
-            const, pos = first if epoch == start_epoch else pos_sampler(epoch)
+            const, pos = probe if epoch == guess else pos_sampler(epoch)
             const = jax.device_put(const, self.repl)
             pos_np = jax.tree.map(
                 lambda a: np.asarray(a).reshape(
@@ -570,11 +614,14 @@ class UPFlowTrainer:
                 )
             history.append(epoch_means)
             self._append_loss_json(epoch_means)
+            saved = False
             if ((epoch - start_epoch + 1) % cfg.ckpt_every == 0
                     or epoch == start_epoch + epochs - 1):
                 self.save_checkpoint(epochs_completed=epoch + 1)
+                saved = True
             if self._stop_requested():
-                self.save_checkpoint(epochs_completed=epoch + 1)
+                if not saved:  # each save is a 20-40 s D2H over the relay
+                    self.save_checkpoint(epochs_completed=epoch + 1)
                 print(f"STOP sentinel: ending after epoch {epoch}", flush=True)
                 break
         return history

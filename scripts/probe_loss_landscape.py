@@ -44,3 +44,37 @@ for alpha in [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0, 1.1, 1.25]:
     p = float(photo_loss_multi_type(im1, warped, occ, loss_type="abs_robust"))
     c = float(census_loss(im1, warped, occ, robust=True))
     print(f"{alpha:>6.2f} {p:>10.5f} {c:>10.5f}")
+
+# -- scale sweep: the same landscape at the DECODED pyramid resolutions ------
+# The training losses are full-res, but the flow is produced by a 1/64..1/4
+# coarse-to-fine decode: if census/photo lose their minimum at GT once the
+# images are downsampled to a decode level's resolution (flow scaled to
+# match), the cost-volume levels have no basin to establish the global shift
+# and only the final full-res upsample carries signal — a structural reading
+# of the pan stall (VERDICT r4 #1a).
+def down(img, s):
+    """Mean-pool by s — the alias-free downsample a feature pyramid
+    approximates (plain bilinear w/o antialias would point-sample and
+    overstate small-scale ambiguity)."""
+    if s == 1:
+        return img
+    b, h, w, c = img.shape
+    return img.reshape(b, h // s, s, w // s, s, c).mean(axis=(2, 4))
+
+
+print("\nper-decode-scale landscape (images downsampled, flow scaled):")
+print(f"{'scale':>6} {'metric':>7} " + " ".join(f"a={a:<4}" for a in
+                                                [0.0, 0.5, 0.9, 1.0, 1.1]))
+for s in (1, 2, 4, 8, 16):
+    i1s, i2s = down(im1, s), down(im2, s)
+    gts = down(gt, s) / s
+    occs = jnp.ones(i1s.shape[:-1] + (1,), jnp.float32)
+    rows = {"photo": [], "census": []}
+    for alpha in [0.0, 0.5, 0.9, 1.0, 1.1]:
+        w = backward_warp(i2s, alpha * gts, padding="border")
+        rows["photo"].append(
+            float(photo_loss_multi_type(i1s, w, occs, loss_type="abs_robust")))
+        rows["census"].append(float(census_loss(i1s, w, occs, robust=True)))
+    for m, vals in rows.items():
+        print(f"{'1/'+str(s):>6} {m:>7} " +
+              " ".join(f"{v:.4f}" for v in vals))

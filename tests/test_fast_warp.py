@@ -77,6 +77,26 @@ def test_pallas_warp2d_grads_interpret():
     np.testing.assert_allclose(np.asarray(gr[1]), np.asarray(gp[1]), atol=1e-4)
 
 
+def test_pallas_warp2d_grads_zeros_interpret():
+    """The fused zeros-mode VJP (border-kernel bwd + analytic validity
+    adjoint, round 5) must match the exact gather formulation.  Flow kept
+    off integer values: the validity weight is piecewise-linear with
+    subgradient choices at integers, same as the oracle's own kinks."""
+    k = jax.random.PRNGKey(3)
+    img = jax.random.uniform(k, (1, 16, 32, 1), jnp.float32)
+    flow = jnp.clip(jax.random.normal(k, (1, 16, 32, 2)) * 4, -7.3, 7.3) + 0.21
+    gr = jax.grad(
+        lambda im, fl: jnp.sum(backward_warp(im, fl, padding="zeros") ** 2), (0, 1)
+    )(img, flow)
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(
+            lambda im, fl: jnp.sum(backward_warp_pallas(im, fl, 8, "zeros") ** 2),
+            (0, 1),
+        )(img, flow)
+    np.testing.assert_allclose(np.asarray(gr[0]), np.asarray(gp[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gr[1]), np.asarray(gp[1]), atol=1e-4)
+
+
 def test_pallas_warp_supported():
     assert warp2d_pallas_supported((4, 160, 224, 1))
     assert not warp2d_pallas_supported((1, 16, 16, 16, 1))

@@ -240,25 +240,30 @@ def test_batch_directions_equivalent_and_param_compatible():
     ulps through near-zero variances)."""
     import dataclasses
 
-    base = dataclasses.replace(TINY, if_norm_before_cost_volume=True,
-                               norm_moments_across_channels=False,
-                               norm_moments_across_images=False)
     k = jax.random.PRNGKey(2)
     im1 = jax.random.uniform(k, (2, 64, 64, 3))
     im2 = jax.random.uniform(jax.random.fold_in(k, 1), (2, 64, 64, 3))
-    for sgu in (False, True):
-        cfg_b = dataclasses.replace(base, batch_directions=True,
-                                    if_sgu_upsample=sgu)
-        cfg_u = dataclasses.replace(cfg_b, batch_directions=False)
-        net_b, net_u = UPFlowNet(cfg=cfg_b), UPFlowNet(cfg=cfg_u)
-        params = net_u.init(k, im1, im2)
-        pb = net_b.init(k, im1, im2)
-        assert (jax.tree_util.tree_structure(params)
-                == jax.tree_util.tree_structure(pb))
-        out_u = net_u.apply(params, im1, im2)
-        out_b = net_b.apply(params, im1, im2)
-        for key in ("flow_f", "flow_b"):
-            np.testing.assert_allclose(
-                np.asarray(out_u[key]), np.asarray(out_b[key]),
-                rtol=1e-4, atol=1e-3,
-            )
+    # Both moment configs: the shipped default (True/True — "across images"
+    # means across the FRAME PAIR, still per-sample, so batching fw/bw must
+    # not change it; ADVICE r4 asked this default to be exercised) and the
+    # per-channel/per-image variant.
+    for across in (True, False):
+        base = dataclasses.replace(TINY, if_norm_before_cost_volume=True,
+                                   norm_moments_across_channels=across,
+                                   norm_moments_across_images=across)
+        for sgu in (False, True):
+            cfg_b = dataclasses.replace(base, batch_directions=True,
+                                        if_sgu_upsample=sgu)
+            cfg_u = dataclasses.replace(cfg_b, batch_directions=False)
+            net_b, net_u = UPFlowNet(cfg=cfg_b), UPFlowNet(cfg=cfg_u)
+            params = net_u.init(k, im1, im2)
+            pb = net_b.init(k, im1, im2)
+            assert (jax.tree_util.tree_structure(params)
+                    == jax.tree_util.tree_structure(pb))
+            out_u = net_u.apply(params, im1, im2)
+            out_b = net_b.apply(params, im1, im2)
+            for key in ("flow_f", "flow_b"):
+                np.testing.assert_allclose(
+                    np.asarray(out_u[key]), np.asarray(out_b[key]),
+                    rtol=1e-4, atol=1e-3,
+                )
