@@ -474,6 +474,9 @@ def cmd_train_upflow(argv):
             import jax.numpy as jnp
 
             from opticalflowscivis_tpu.data.device_synthetic import (
+                multibox_pan_pair_positions,
+                multibox_pan_pairs_device,
+                multibox_pan_scene_host,
                 pan_pair_positions,
                 pan_pairs_device,
                 pan_scene_host,
@@ -482,33 +485,57 @@ def cmd_train_upflow(argv):
             gen_kw = dict(getattr(spec.generator, "keywords", None) or {})
             if gen_kw.get("background") != "pan":
                 raise SystemExit("--device_gen requires a pan dataset "
-                                 "(rectangle2d_tex_pan / _pan8)")
+                                 "(rectangle2d_tex_pan / _pan8 / "
+                                 "rectangles2d_tex_pan8)")
             pan_v = int(gen_kw.get("pan_vel_max", 3))
             grid, box = (128, 128), (60, 80)
+            multibox = spec.name.startswith("rectangles")
+            boxes = ((40, 50), (30, 25), (20, 35))  # rectangles_2d defaults
             n_pairs = args.device_gen
             batch = args.batch_size or 8
             spe = max(n_pairs // batch, 1)
 
-            def pos_sampler(epoch):
-                rng = np.random.default_rng(50_000 + epoch)
-                tex, big, bt, ct = pan_scene_host(
-                    rng, spe * batch + 1, grid, box, pan_vel_max=pan_v
-                )
-                # permuted pair order: velocities persist up to max_seq
-                # frames, so trajectory-ordered batches share one pan
-                # velocity — shuffling restores per-batch motion diversity
-                # (ADVICE r3)
-                bp, cp = pan_pair_positions(
-                    bt, ct, rng.permutation(spe * batch)
-                )
-                return ({"tex": jnp.asarray(tex), "big": jnp.asarray(big)},
-                        {"box": bp, "cam": cp})
+            if multibox:
+                def pos_sampler(epoch):
+                    rng = np.random.default_rng(50_000 + epoch)
+                    texs, big, bts, ct = multibox_pan_scene_host(
+                        rng, spe * batch + 1, grid, boxes, pan_vel_max=pan_v
+                    )
+                    bp, cp = multibox_pan_pair_positions(
+                        bts, ct, rng.permutation(spe * batch)
+                    )
+                    return (
+                        {"texs": [jnp.asarray(t) for t in texs],
+                         "big": jnp.asarray(big)},
+                        {"box": jnp.asarray(bp), "cam": jnp.asarray(cp)},
+                    )
 
-            def gen_fn(const, pos):
-                return pan_pairs_device(
-                    const["tex"], const["big"], pos["box"], pos["cam"],
-                    grid, in_channels=3,
-                )
+                def gen_fn(const, pos):
+                    return multibox_pan_pairs_device(
+                        const["texs"], const["big"], pos["box"], pos["cam"],
+                        grid, in_channels=3,
+                    )
+            else:
+                def pos_sampler(epoch):
+                    rng = np.random.default_rng(50_000 + epoch)
+                    tex, big, bt, ct = pan_scene_host(
+                        rng, spe * batch + 1, grid, box, pan_vel_max=pan_v
+                    )
+                    # permuted pair order: velocities persist up to max_seq
+                    # frames, so trajectory-ordered batches share one pan
+                    # velocity — shuffling restores per-batch motion
+                    # diversity (ADVICE r3)
+                    bp, cp = pan_pair_positions(
+                        bt, ct, rng.permutation(spe * batch)
+                    )
+                    return ({"tex": jnp.asarray(tex), "big": jnp.asarray(big)},
+                            {"box": bp, "cam": cp})
+
+                def gen_fn(const, pos):
+                    return pan_pairs_device(
+                        const["tex"], const["big"], pos["box"], pos["cam"],
+                        grid, in_channels=3,
+                    )
 
             print(f"device-gen: {spe * batch} fresh pan pairs/epoch "
                   f"(pan_vel_max={pan_v}); val = registry split", flush=True)

@@ -117,6 +117,20 @@ REGISTRY: dict[str, DatasetSpec] = {
         train=[(0, 2205)], val=[(2370, 2685)], test=[(2685, 3000)],
         batch_size=180, generator=synthetic.rectangles_2d,
     ),
+    "rectangles2d_tex_pan8": _spec(
+        # STRUCTURED ego-motion (VERDICT r4 #1b): three independently-moving
+        # rigid textured boxes at different scales OVER the pan8 panning
+        # multi-octave background — the KITTI-like regime (motion boundaries
+        # + occlusion structure at several scales) that plain pan8 lacks.
+        # The r5 landscape probe (Results/landscape_r5) shows pan8's census
+        # basin flattening/biasing at the decoded pyramid scales; rigid
+        # boundaries restore coarse-scale structure census can lock onto.
+        name="rectangles2d_tex_pan8", ndim=2, has_flow=True,
+        train=[(0, 2205)], val=[(2370, 2685)], test=[(2685, 3000)],
+        batch_size=180,
+        generator=functools.partial(synthetic.rectangles_2d,
+                                    background="pan", pan_vel_max=8),
+    ),
     "lbs2d": _spec(
         name="lbs2d", ndim=2, has_flow=True,
         train=[(0, 2205)], val=[(2370, 2685)], test=[(2685, 3000)],

@@ -230,6 +230,36 @@ def test_upflow_fit_device_gen_resume_offsets_epoch_seed(tmp_path):
     assert len(hist) == 1
 
 
+def test_multibox_pan_pairs_match_rectangles_2d():
+    """Device multi-box pan composition reproduces the numpy oracle
+    (rectangles_2d(background='pan')) bit-for-bit from the same rng."""
+    from opticalflowscivis_tpu.data.device_synthetic import (
+        multibox_pan_pair_positions,
+        multibox_pan_pairs_device,
+        multibox_pan_scene_host,
+    )
+    from opticalflowscivis_tpu.data.synthetic import rectangles_2d
+
+    grid = (64, 64)
+    boxes = ((20, 24), (14, 12))
+    n = 7
+    ref = rectangles_2d(n_frames=n, grid=grid, boxes=boxes, vel_max=4,
+                        max_seq=15, seed=5, background="pan", pan_vel_max=6)
+    texs, big, bts, ct = multibox_pan_scene_host(
+        np.random.default_rng(5), n, grid, boxes, vel_max=4, max_seq=15,
+        pan_vel_max=6,
+    )
+    idx = np.arange(n - 1)
+    bp, cp = multibox_pan_pair_positions(bts, ct, idx)
+    im1, im2, flow = multibox_pan_pairs_device(
+        [jnp.asarray(t) for t in texs], jnp.asarray(big),
+        jnp.asarray(bp), jnp.asarray(cp), grid, in_channels=1,
+    )
+    np.testing.assert_array_equal(np.asarray(im1)[..., 0], ref[:-1, ..., 0])
+    np.testing.assert_array_equal(np.asarray(im2)[..., 0], ref[1:, ..., 0])
+    np.testing.assert_array_equal(np.asarray(flow), ref[:-1, ..., 1:])
+
+
 def test_fit_device_gen_failed_restore_does_not_offset(tmp_path):
     """ADVICE r4 (medium): resume with a missing/corrupted checkpoint must
     NOT apply the epoch offset or truncate loss.json — otherwise a checkpoint
