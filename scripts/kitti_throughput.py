@@ -42,6 +42,11 @@ def main():
     steps = 30
     if "--steps" in sys.argv:
         steps = int(sys.argv[sys.argv.index("--steps") + 1])
+    n_seq = 12  # 48 pairs (the r3 sizing); VERDICT r4 #6: --n_seq 250 gives
+    #   1000 pairs, the KittiHBMCache CLI default, to validate decode time +
+    #   HBM headroom + steady-state pairs/s at the shipped configuration
+    if "--n_seq" in sys.argv:
+        n_seq = int(sys.argv[sys.argv.index("--n_seq") + 1])
 
     from opticalflowscivis_tpu.data.kitti import KittiHBMCache
     from opticalflowscivis_tpu.training.upflow_trainer import (
@@ -50,7 +55,7 @@ def main():
     )
 
     with tempfile.TemporaryDirectory() as tmp:
-        mv = make_multiview(tmp)
+        mv = make_multiview(tmp, n_seq=n_seq)
         t0 = time.time()
         cache = KittiHBMCache(mv, max_pairs=None)
         decode_s = time.time() - t0
