@@ -85,6 +85,31 @@ def _timed_chain(fn, args, iters=ITERS):
     return (time.perf_counter() - t0) / iters
 
 
+def _timed_scan(fn, args, iters=ITERS):
+    """Seconds/call with the whole eps-chain inside ONE jitted lax.scan.
+
+    The per-dispatch chain above pays one relay RPC per call (~45 ms on the
+    axon tunnel — measured round 5 to exceed the 2-D inference step's own
+    device time several times over); scanning the chain on device measures
+    the CHIP's sustained rate, which is the deployable pairs/sec/chip number
+    (real deployments have no relay).  Still uncacheable: each iteration
+    feeds the next one's eps.  Program length stays ~1 s, far under the
+    ~100 s worker-crash scale (RESULTS.md round 4)."""
+
+    @jax.jit
+    def chain(s0):
+        def body(s, i):
+            return fn(s + i.astype(jnp.float32) * 1e-5, *args), ()
+        out, _ = jax.lax.scan(body, s0, jnp.arange(iters))
+        return out
+
+    float(chain(jnp.float32(0.0)))  # compile + warm + materialize
+    t0 = time.perf_counter()
+    r = float(chain(jnp.float32(1e-6)))
+    assert np.isfinite(r)
+    return (time.perf_counter() - t0) / iters
+
+
 def bench_rife2d_inference():
     from opticalflowscivis_tpu.models import ifnet_2d
 
@@ -94,16 +119,23 @@ def bench_rife2d_inference():
     img1 = jax.random.uniform(jax.random.fold_in(key, 1), (BATCH, H, W, 1), jnp.float32)
     params = jax.jit(net.init)(key, img0, img1, None)
 
-    @jax.jit
     def forward(eps, params, img0, img1):
         out = net.apply(params, img0 + eps, img1 + eps, None)
         return jnp.sum(out["merged"][-1].astype(jnp.float32)) * 1e-12
 
-    sec = _timed_chain(forward, (params, img0, img1))
+    # device-scanned chain = the chip's sustained rate (the headline);
+    # per-dispatch chain = the r1-r4 protocol, kept in details for
+    # cross-round comparability (it is relay-RPC-bound, ~45 ms/call floor)
+    sec = _timed_scan(forward, (params, img0, img1), iters=32)
+    sec_chained = _timed_chain(jax.jit(forward), (params, img0, img1))
+    _DETAILS["rife2d_inference_chained_relay_pairs_per_sec"] = round(
+        BATCH / sec_chained, 2
+    )
 
     flops = None
     try:
-        cost = forward.lower(jnp.float32(0.0), params, img0, img1).compile()
+        cost = jax.jit(forward).lower(
+            jnp.float32(0.0), params, img0, img1).compile()
         cost = cost.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
@@ -123,12 +155,11 @@ def bench_rife3d_inference(size=64, batch=4):
     v1 = jax.random.uniform(jax.random.fold_in(key, 1), shape, jnp.float32)
     params = jax.jit(net.init)(key, v0[:1, :32, :32, :32], v0[:1, :32, :32, :32], None)
 
-    @jax.jit
     def forward(eps, params, a, b):
         out = net.apply(params, a + eps, b + eps, None)["merged"][-1]
         return jnp.sum(out.astype(jnp.float32)) * 1e-12
 
-    sec = _timed_chain(forward, (params, v0, v1), iters=6)
+    sec = _timed_scan(forward, (params, v0, v1), iters=6)
     return batch / sec
 
 
@@ -241,7 +272,12 @@ def main():
                 "(no comparable reference inference number exists); the "
                 "reference's only training anchor (9.8 pairs/s UPFlow) is "
                 "compared like-for-like in "
-                "upflow_train_vs_reference_9p8_pairs_per_sec",
+                "upflow_train_vs_reference_9p8_pairs_per_sec. Protocol "
+                "change (round 5): inference rates are measured with the "
+                "eps-chain inside one jitted lax.scan (the chip's sustained "
+                "rate); the r1-r4 per-dispatch protocol paid one ~45 ms "
+                "relay RPC per call and is preserved as "
+                "rife2d_inference_chained_relay_pairs_per_sec",
     })
 
     # Hard backstop: the headline is out — if any detail sub-bench wedges (the
