@@ -26,13 +26,14 @@ from opticalflowscivis_tpu.data.registry import load_raw_series
 from opticalflowscivis_tpu.models.upflow import UPFlowConfig, UPFlowNet
 
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+DATASET = sys.argv[2] if len(sys.argv) > 2 else "rectangle2d_tex_pan"
 REPORT = max(1, STEPS // 10)
 B = 4
 
 
 def pick_batch():
-    spec = get_spec("rectangle2d_tex_pan")
-    series = load_raw_series("rectangle2d_tex_pan", "data_cache", "val")
+    spec = get_spec(DATASET)
+    series = load_raw_series(DATASET, "data_cache", "val")
     k = min(len(series), 40)
     from opticalflowscivis_tpu.training.upflow_trainer import frames_to_pairs
 
