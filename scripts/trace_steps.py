@@ -183,8 +183,11 @@ def main():
     report = {"backend": jax.default_backend(),
               "device_kind": jax.devices()[0].device_kind,
               "trace_steps": TRACE_STEPS}
+    only = os.environ.get("TRACE_ONLY", "")  # substring filter, e.g. "upflow"
     for name, fn in [("rife2d_train", rife2d_train),
                      ("upflow_train", upflow_train)]:
+        if only and only not in name:
+            continue
         print(f"tracing {name} ...", flush=True)
         try:
             report[name] = fn()
