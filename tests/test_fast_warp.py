@@ -102,6 +102,26 @@ def test_pallas_warp_supported():
     assert not warp2d_pallas_supported((1, 16, 16, 16, 1))
 
 
+def test_pallas_min_hw_gate(monkeypatch):
+    """Tiny planes (coarse pyramid levels) are gated off the Pallas path —
+    they stall ~30-40 ms/launch on VMEM staging while XLA's gathers are
+    microseconds (round-5 trace, Results/r5/trace_summary_r5.json); the
+    threshold is env-tunable for A-B sweeps (scripts/upflow_step_ab.py)."""
+    from opticalflowscivis_tpu.ops.pallas.correlation import (
+        pallas_cost_volume_supported,
+    )
+
+    tiny_warp, tiny_corr = (16, 4, 13, 32), (16, 4, 13, 32)
+    assert not warp2d_pallas_supported(tiny_warp)  # default gate = 1024
+    assert not pallas_cost_volume_supported(tiny_corr, 4)
+    monkeypatch.setenv("OFS_PALLAS_MIN_HW", "0")
+    assert warp2d_pallas_supported(tiny_warp)
+    assert pallas_cost_volume_supported(tiny_corr, 4)
+    monkeypatch.setenv("OFS_PALLAS_MIN_HW", "1000000")
+    assert not warp2d_pallas_supported((4, 160, 224, 1))
+    assert not pallas_cost_volume_supported((4, 64, 208, 32), 4)
+
+
 def test_ifnet3d_with_slab_warp_runs():
     from opticalflowscivis_tpu.models import IFNet
 
