@@ -178,6 +178,35 @@ def upflow_train() -> dict:
     return _trace_step("upflow_train_b8_256x832", run, compiled, "/tmp/traces")
 
 
+def rife3d_inference() -> dict:
+    """256³ vol-pair inference — the BASELINE.json north-star stand-in
+    (0.607 vols/s each round since r3, never traced).  b1, bf16, the
+    benchmark/testtime.py protocol with an eps-chain for uncacheability."""
+    from opticalflowscivis_tpu.models import ifnet_3d
+
+    net = ifnet_3d(dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    shape = (1, 256, 256, 256, 1)
+    v0 = jax.random.uniform(key, shape, jnp.float32)
+    v1 = jax.random.uniform(jax.random.fold_in(key, 1), shape, jnp.float32)
+    params = jax.jit(net.init)(
+        key, v0[:, :32, :32, :32], v0[:, :32, :32, :32], None)
+
+    @jax.jit
+    def forward(eps, v0, v1):
+        out = net.apply(params, v0 + eps, v1 + eps, None)["merged"][-1]
+        return jnp.sum(out.astype(jnp.float32)) * 1e-12
+
+    holder = {"s": jnp.float32(0.0)}
+
+    def run():
+        holder["s"] = forward(holder["s"], v0, v1)
+        return holder["s"]
+
+    compiled = forward.lower(holder["s"], v0, v1).compile()
+    return _trace_step("rife3d_inference_256", run, compiled, "/tmp/traces")
+
+
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else "Results/trace_summary.json"
     report = {"backend": jax.default_backend(),
@@ -185,7 +214,8 @@ def main():
               "trace_steps": TRACE_STEPS}
     only = os.environ.get("TRACE_ONLY", "")  # substring filter, e.g. "upflow"
     for name, fn in [("rife2d_train", rife2d_train),
-                     ("upflow_train", upflow_train)]:
+                     ("upflow_train", upflow_train),
+                     ("rife3d_inference", rife3d_inference)]:
         if only and only not in name:
             continue
         print(f"tracing {name} ...", flush=True)
