@@ -72,10 +72,12 @@ def pallas_cost_volume_supported(shape: tuple, max_disp: int) -> bool:
     if len(shape) != 4:  # [B, H, W, C] only; 3-D uses the jnp path for now
         return False
     _, h, w, c = shape
-    # Tiny planes (coarse pyramid levels) don't amortize kernel DMA/launch
-    # cost; same measured gate as ops/pallas/warp.py (OFS_PALLAS_MIN_HW,
-    # swept on the UPFlow train step by scripts/upflow_step_ab.py).
-    if h * w < int(os.environ.get("OFS_PALLAS_MIN_HW", "1024")):
+    # Small planes (coarse pyramid levels) don't amortize kernel DMA/launch
+    # cost; same measured gate as ops/pallas/warp.py.
+    # OFS_PALLAS_CORR_MIN_HW overrides OFS_PALLAS_MIN_HW.
+    gate = os.environ.get("OFS_PALLAS_CORR_MIN_HW",
+                          os.environ.get("OFS_PALLAS_MIN_HW", "1024"))
+    if h * w < int(gate):
         return False
     return _pick_tile_h(h, w, c, max_disp) is not None
 

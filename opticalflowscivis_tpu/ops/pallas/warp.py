@@ -73,11 +73,14 @@ def warp2d_pallas_supported(img_shape: tuple, r: int = 16) -> bool:
     if len(img_shape) != 4:
         return False
     _, h, w, c = img_shape
-    # Tiny planes (coarse pyramid levels, e.g. 4x13 at 1/64 of a KITTI crop)
+    # Small planes (coarse pyramid levels, e.g. 4x13 at 1/64 of a KITTI crop)
     # don't amortize the kernel's DMA/launch cost and XLA handles their
-    # gathers in microseconds; measured threshold via OFS_PALLAS_MIN_HW
-    # (scripts/upflow_step_ab.py sweeps it on the UPFlow train step).
-    if h * w < int(os.environ.get("OFS_PALLAS_MIN_HW", "1024")):
+    # gathers in microseconds; measured threshold sweeps:
+    # scripts/upflow_step_ab.py (global) and scripts/pallas_gate_ab2.py
+    # (per-op).  OFS_PALLAS_WARP_MIN_HW overrides OFS_PALLAS_MIN_HW.
+    gate = os.environ.get("OFS_PALLAS_WARP_MIN_HW",
+                          os.environ.get("OFS_PALLAS_MIN_HW", "1024"))
+    if h * w < int(gate):
         return False
     return _pick_tile(h, w, c, r) is not None
 
