@@ -72,11 +72,14 @@ def pallas_cost_volume_supported(shape: tuple, max_disp: int) -> bool:
     if len(shape) != 4:  # [B, H, W, C] only; 3-D uses the jnp path for now
         return False
     _, h, w, c = shape
-    # Small planes (coarse pyramid levels) don't amortize kernel DMA/launch
-    # cost; same measured gate as ops/pallas/warp.py.
-    # OFS_PALLAS_CORR_MIN_HW overrides OFS_PALLAS_MIN_HW.
+    # In-context measurement (scripts/pallas_gate_ab2.py, round 5): the fused
+    # kernel LOSES to XLA's fused matmul formulation at every decode-level
+    # plane of the KITTI protocol (<= 64x208 = 13312 px) — UPFlow train goes
+    # 20.9 -> 27.2 pairs/s when they run on XLA — so the default gate keeps
+    # Pallas only for larger planes.  OFS_PALLAS_CORR_MIN_HW overrides
+    # OFS_PALLAS_MIN_HW overrides the default.
     gate = os.environ.get("OFS_PALLAS_CORR_MIN_HW",
-                          os.environ.get("OFS_PALLAS_MIN_HW", "1024"))
+                          os.environ.get("OFS_PALLAS_MIN_HW", "16384"))
     if h * w < int(gate):
         return False
     return _pick_tile_h(h, w, c, max_disp) is not None

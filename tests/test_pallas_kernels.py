@@ -13,7 +13,12 @@ from opticalflowscivis_tpu.ops.pallas.correlation import (
 )
 
 
-def test_supported_predicate():
+def test_supported_predicate(monkeypatch):
+    # Default gate is 16384 px (measured: XLA wins at the decode-level
+    # planes, scripts/pallas_gate_ab2.py) — 64x208 = 13312 is below it.
+    assert not pallas_cost_volume_supported((4, 64, 208, 32), 4)
+    assert pallas_cost_volume_supported((4, 256, 832, 32), 4)
+    monkeypatch.setenv("OFS_PALLAS_CORR_MIN_HW", "0")
     assert pallas_cost_volume_supported((4, 64, 208, 32), 4)
     assert not pallas_cost_volume_supported((1, 16, 16, 16, 8), 4)  # 3-D → jnp
 
