@@ -30,14 +30,21 @@ k = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 pairs = frames_to_pairs(series[:k, ..., :1], in_channels=3)
 gt = series[: k - 1, ..., 1 : 1 + spec.ndim] * spec.gt_flow_stride
 
-cfg = UPFlowTrainConfig(
+# must match the run's optimizer chain or the Orbax tree mismatches:
+# UPFLOW_RECIPE=ex_runner reproduces the weight-decay/lr-decay chain.
+_kw = dict(
     exp_dir=os.environ.get("UPFLOW_EXP_DIR", f"Results/{dataset}/upflow"),
     n_data=1,
-    # must match the run's optimizer chain or the Orbax tree mismatches
     grad_clip=float(os.environ.get("UPFLOW_GRAD_CLIP", "0")),
 )
+if os.environ.get("UPFLOW_RECIPE", "") == "ex_runner":
+    cfg = UPFlowTrainConfig.preset_ex_runner(**_kw)
+else:
+    cfg = UPFlowTrainConfig(**_kw)
 tr = UPFlowTrainer(cfg)
-tr.init_state(pairs[:1])
+# steps_per_epoch>0 materializes the lr-decay schedule state when the run's
+# recipe has lr_gamma != 1 — the opt tree must match to restore.
+tr.init_state(pairs[:1], steps_per_epoch=1 if cfg.lr_gamma != 1.0 else 0)
 assert tr.load_checkpoint(), "no checkpoint"
 _, extras = tr.predict(pairs)
 flow = np.asarray(extras["flow_f"])[:, : gt.shape[1], : gt.shape[2]]
